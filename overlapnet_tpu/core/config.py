@@ -1,0 +1,254 @@
+"""Typed configuration for OverlapNet-TPU.
+
+The reference drives everything from two loosely-typed YAML files
+(reference: config/network.yml, config/demo.yml) with per-key inline
+defaulting at every consumer (reference: src/two_heads/training.py:137-190,
+infer.py:36-84). Here the same knobs live in dataclasses with defaults in
+exactly one place, and ``load_config`` accepts the reference's YAML schema
+unchanged so existing network.yml files keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+import yaml
+
+
+@dataclass
+class ChannelConfig:
+    """Input-channel toggles.
+
+    Channel-count rule mirrors reference src/two_heads/training.py:162-176:
+    C = 1*depth + 3*normals + (3 if pca else 20)*class_probs + 1*intensity.
+    """
+
+    use_depth: bool = True
+    use_normals: bool = True
+    use_class_probabilities: bool = False
+    use_class_probabilities_pca: bool = False
+    use_intensity: bool = False
+
+    @property
+    def num_channels(self) -> int:
+        n = 0
+        if self.use_depth:
+            n += 1
+        if self.use_normals:
+            n += 3
+        if self.use_class_probabilities:
+            n += 3 if self.use_class_probabilities_pca else 20
+        if self.use_intensity:
+            n += 1
+        return n
+
+    def channel_kinds(self) -> list[tuple[str, int]]:
+        """Ordered (kind, width) channel layout, matching the loader order of
+        reference src/two_heads/ImagePairOverlapOrientationSequence.py:142-207:
+        depth, normal, probability[_pca], intensity."""
+        kinds = []
+        if self.use_depth:
+            kinds.append(("depth", 1))
+        if self.use_normals:
+            kinds.append(("normal", 3))
+        if self.use_class_probabilities:
+            if self.use_class_probabilities_pca:
+                kinds.append(("probability_pca", 3))
+            else:
+                kinds.append(("probability", 20))
+        if self.use_intensity:
+            kinds.append(("intensity", 1))
+        return kinds
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture selection (reference: config/network.yml:64-82)."""
+
+    model_type: str = "SiameseNetworkTemplate"
+    legs_type: str = "360OutputkLegs"
+    overlap_head: str = "DeltaLayerConv1NetworkHead"
+    orientation_head: str = "CorrelationHead"
+    # (H, W) of one input range image; channel count comes from ChannelConfig.
+    input_height: int = 64
+    input_width: int = 900
+    leg_output_width: int = 360
+    strides_layer1: tuple[int, int] = (2, 2)
+    additional_unsymmetric_layer3a: bool = True
+    # Width of the 1xS / Sx1 convs in the overlap head
+    # (reference: generateNet.py:88-89).
+    conv1_network_head_conv1size: int = 15
+    small_net: bool = False
+    # Freeze leg weights ("360OutputkLegsFixed", reference generateNet.py:222).
+    legs_trainable: bool = True
+    # Normalization mode of the correlation head: none|euclidean|scaling|
+    # standardization (reference: NormalizedCorrelation2D.py:55-73; production
+    # uses 'none', generateNet.py:343).
+    correlation_normalize: str = "none"
+    # Yaw-head backend: 'fft' | 'conv' (grouped MXU conv) | 'auto'.
+    correlation_method: str = "fft"
+    # Overlap-head backend: 'pallas' fused delta+conv1, 'xla' materialized.
+    delta_head_impl: str = "xla"
+    # Compute dtype for the forward pass ('float32' or 'bfloat16').
+    compute_dtype: str = "float32"
+
+
+@dataclass
+class TrainConfig:
+    """Training hyperparameters (reference: config/network.yml:41-57,
+    training.py:47-57, 215-230, 253-259)."""
+
+    learning_rate: float = 0.001
+    lr_alpha: float = 0.99
+    momentum: float = 0.5  # parsed but unused by the reference optimizer too
+    batch_size: int = 16
+    no_batches_in_epoch: int = 100_000_000_000
+    no_epochs: int = 100
+    no_test_pairs: int = 100_000_000_000
+    min_overlap_for_angle: float = 0.7
+    # 0: no rotation aug; 1: fixed random shift per pair; 2: re-rolled each
+    # epoch (reference ImagePairOverlapOrientationSequence.py:42-53).
+    rotate_training_data: int = 0
+    # Loss weights overlap:orientation (reference training.py:257).
+    overlap_loss_weight: float = 5.0
+    orientation_loss_weight: float = 1.0
+    seed: int = 1234
+
+
+@dataclass
+class DataConfig:
+    """Dataset paths and sequence selection (reference: network.yml:26-39,
+    demo.yml)."""
+
+    data_root_folder: str = "data/"
+    imgpath: str = ""  # defaults to data_root_folder when empty
+    training_seqs: Sequence[str] = field(default_factory=list)
+    testing_seqs: Sequence[str] = field(default_factory=list)
+    infer_seqs: str = ""
+    traindata_npzfile: str = ""
+    validationdata_npzfile: str = ""
+    testdata_npzfile: str = ""
+
+    @property
+    def image_root(self) -> str:
+        return self.imgpath if self.imgpath else self.data_root_folder
+
+
+@dataclass
+class ExperimentConfig:
+    experiments_path: str = "/tmp"
+    testname: str = "experiment"
+    pretrained_weightsfilename: str = ""
+    show_plots: bool = False
+
+
+@dataclass
+class OverlapNetConfig:
+    channels: ChannelConfig = field(default_factory=ChannelConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+
+    @property
+    def num_input_channels(self) -> int:
+        return self.channels.num_channels
+
+    @property
+    def input_shape(self) -> tuple[int, int, int]:
+        return (self.model.input_height, self.model.input_width, self.num_input_channels)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _seq_list(value: Any) -> list[str]:
+    """Sequences appear as space-separated strings in the reference YAML
+    (network.yml:33-39, split at training.py:126-127)."""
+    if value is None:
+        return []
+    if isinstance(value, str):
+        return value.split()
+    return [str(v) for v in value]
+
+
+def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
+    """Build a typed config from the reference's network.yml dict schema."""
+    cfg = OverlapNetConfig()
+
+    ch = cfg.channels
+    ch.use_depth = bool(raw.get("use_depth", ch.use_depth))
+    ch.use_normals = bool(raw.get("use_normals", ch.use_normals))
+    ch.use_class_probabilities = bool(
+        raw.get("use_class_probabilities", ch.use_class_probabilities)
+    )
+    ch.use_class_probabilities_pca = bool(
+        raw.get("use_class_probabilities_pca", ch.use_class_probabilities_pca)
+    )
+    ch.use_intensity = bool(raw.get("use_intensity", ch.use_intensity))
+
+    m = cfg.model
+    model_raw = raw.get("model", {}) or {}
+    m.model_type = model_raw.get("modelType", m.model_type)
+    m.legs_type = model_raw.get("legsType", m.legs_type)
+    m.overlap_head = model_raw.get("overlap_head", m.overlap_head)
+    m.orientation_head = model_raw.get("orientation_head", m.orientation_head)
+    shape = model_raw.get("inputShape")
+    if shape:
+        m.input_height, m.input_width = int(shape[0]), int(shape[1])
+    m.leg_output_width = int(model_raw.get("leg_output_width", m.leg_output_width))
+    strides = model_raw.get("strides_layer1")
+    if strides:
+        m.strides_layer1 = (int(strides[0]), int(strides[1]))
+    m.additional_unsymmetric_layer3a = bool(
+        model_raw.get("additional_unsymmetric_layer3a", m.additional_unsymmetric_layer3a)
+    )
+    m.conv1_network_head_conv1size = int(
+        model_raw.get("conv1NetworkHead_conv1size", m.conv1_network_head_conv1size)
+    )
+    m.legs_trainable = not m.legs_type.endswith("Fixed")
+    m.correlation_method = model_raw.get("correlation_method", m.correlation_method)
+    m.delta_head_impl = model_raw.get("delta_head_impl", m.delta_head_impl)
+    m.compute_dtype = model_raw.get("compute_dtype", m.compute_dtype)
+
+    t = cfg.train
+    t.learning_rate = float(raw.get("learning_rate", t.learning_rate))
+    t.lr_alpha = float(raw.get("lr_alpha", t.lr_alpha))
+    t.momentum = float(raw.get("momentum", t.momentum))
+    t.batch_size = int(raw.get("batch_size", t.batch_size))
+    t.no_batches_in_epoch = int(raw.get("no_batches_in_epoch", t.no_batches_in_epoch))
+    t.no_epochs = int(raw.get("no_epochs", t.no_epochs))
+    t.no_test_pairs = int(raw.get("no_test_pairs", t.no_test_pairs))
+    t.min_overlap_for_angle = float(
+        raw.get("min_overlap_for_angle", t.min_overlap_for_angle)
+    )
+    t.rotate_training_data = int(raw.get("rotate_training_data", t.rotate_training_data))
+
+    d = cfg.data
+    d.data_root_folder = raw.get("data_root_folder", d.data_root_folder)
+    d.imgpath = raw.get("imgpath", d.imgpath)
+    d.training_seqs = _seq_list(raw.get("training_seqs"))
+    d.testing_seqs = _seq_list(raw.get("testing_seqs"))
+    d.infer_seqs = raw.get("infer_seqs", d.infer_seqs)
+    d.traindata_npzfile = raw.get("traindata_npzfile", d.traindata_npzfile)
+    d.validationdata_npzfile = raw.get("validationdata_npzfile", d.validationdata_npzfile)
+    d.testdata_npzfile = raw.get("testdata_npzfile", d.testdata_npzfile)
+
+    e = cfg.experiment
+    e.experiments_path = raw.get("experiments_path", e.experiments_path)
+    e.testname = raw.get("testname", e.testname)
+    e.pretrained_weightsfilename = raw.get(
+        "pretrained_weightsfilename", e.pretrained_weightsfilename
+    )
+    e.show_plots = bool(raw.get("show_plots", e.show_plots))
+
+    return cfg
+
+
+def load_config(path: str) -> OverlapNetConfig:
+    """Load a network.yml-style YAML file into a typed config."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return config_from_dict(raw)

@@ -1,0 +1,110 @@
+"""Circular cross-correlation over yaw shifts (the orientation head's op).
+
+The reference implements this as a per-sample ``tf.scan`` that wrap-pads the
+left feature volume to width 2W-1 and convolves it with the right volume as a
+conv kernel (reference: NormalizedCorrelation2D.py:43-109, RangePadding2D.py:
+31-41). Semantics: with pad = W//2,
+
+    out[b, s] = sum_{w, c} a[b, (s + w - W//2) mod W, c] * b[b, w, c]
+
+i.e. a circular cross-correlation with the zero-shift peak moved to the
+center bin W//2 — which is why inference reads ``yaw = W//2 - argmax``
+(reference infer.py:158).
+
+TPU-native backends (no per-sample loop; vmap/batch everywhere):
+
+- 'fft'  : O(W log W * C). rfft along the shift axis; the channel sum happens
+           in frequency space, so one irfft of length W per sample.
+- 'conv' : one MXU grouped convolution; batch as feature groups, each sample's
+           right volume acts as that group's kernel.
+
+Both are exact (up to float assoc.) and differentiable; training uses
+whichever ``ModelConfig.correlation_method`` selects.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def wrap_pad(x: jax.Array, pad: int) -> jax.Array:
+    """Width-wise wrap pad to width 2W-1: [x[pad:], x, x[:pad-1]]
+    (reference RangePadding2D.py:31-41; pad([1 2 3 4], 2) -> [3 4 1 2 3 4 1]).
+
+    Args:
+      x: (..., W, C)
+    """
+    return jnp.concatenate([x[..., pad:, :], x, x[..., : pad - 1, :]], axis=-2)
+
+
+def _normalize(x: jax.Array, mode: str) -> jax.Array:
+    """Feature-volume normalization variants
+    (reference NormalizedCorrelation2D.py:55-73). Production uses 'none'
+    (reference generateNet.py:343)."""
+    if mode == "none":
+        return x
+    if mode == "euclidean":
+        norm = jnp.linalg.norm(x, axis=-2, keepdims=True)
+        return x / jnp.where(norm > 0, norm, 1.0)
+    if mode == "scaling":
+        x_min = jnp.min(x, axis=-2, keepdims=True)
+        x_max = jnp.max(x, axis=-2, keepdims=True)
+        return (x - x_min) / (x_max - x_min + 1e-6)
+    if mode == "standardization":
+        x = x - jnp.mean(x, axis=-2, keepdims=True) + 1e-5
+        norm = jnp.linalg.norm(x, axis=-2, keepdims=True)
+        return x / jnp.where(norm > 0, norm, 1.0)
+    raise ValueError(f"Unknown correlation normalization: {mode!r}")
+
+
+def _circular_correlation_fft(a: jax.Array, b: jax.Array) -> jax.Array:
+    w = a.shape[-2]
+    fa = jnp.fft.rfft(a.astype(jnp.float32), axis=-2)
+    fb = jnp.fft.rfft(b.astype(jnp.float32), axis=-2)
+    spec = jnp.sum(fa * jnp.conj(fb), axis=-1)  # channel sum in freq space
+    corr = jnp.fft.irfft(spec, n=w, axis=-1)
+    # corr[k] = sum_w a[(w + k) mod W] * b[w]; the reference's padded-conv
+    # indexing is out[s] = corr[(s - W//2) mod W] => roll by +W//2.
+    return jnp.roll(corr, w // 2, axis=-1)
+
+
+def _circular_correlation_conv(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Grouped-conv formulation: one conv with batch*channels input channels
+    and batch feature groups, so each sample's `b` is its group's kernel."""
+    bsz, w, c = a.shape
+    padded = wrap_pad(a, w // 2)  # (B, 2W-1, C)
+    lhs = padded.transpose(0, 2, 1).reshape(1, bsz * c, 1, 2 * w - 1)
+    rhs = b.transpose(0, 2, 1).reshape(bsz, c, 1, w)
+    out = jax.lax.conv_general_dilated(
+        lhs.astype(jnp.float32),
+        rhs.astype(jnp.float32),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=bsz,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(bsz, w)
+
+
+def circular_correlation(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    normalize: str = "none",
+    method: str = "fft",
+) -> jax.Array:
+    """Orientation logits: correlation of two (B, W, C) feature volumes over
+    all W circular shifts, peak centered at bin W//2.
+
+    Returns (B, W) float32 logits ('orientation_output').
+    """
+    a = _normalize(a, normalize)
+    b = _normalize(b, normalize)
+    if method == "fft":
+        return _circular_correlation_fft(a, b)
+    if method == "conv":
+        return _circular_correlation_conv(a, b)
+    raise ValueError(f"Unknown correlation method: {method!r}")

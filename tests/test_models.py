@@ -1,0 +1,138 @@
+"""Model structure tests: shape chain, checkpoint schema, head consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from overlapnet_tpu.core.config import ModelConfig
+from overlapnet_tpu.models import (
+    build_model,
+    init_params,
+    leg_output_width,
+    make_head_apply,
+    make_leg_apply,
+)
+
+
+def test_leg_output_width_formula():
+    cfg = ModelConfig()  # W=900
+    assert leg_output_width(cfg) == 360
+    cfg2 = ModelConfig(input_width=360)
+    assert leg_output_width(cfg2) == 90
+
+
+def test_full_model_shapes(small_model_cfg):
+    cfg = small_model_cfg
+    params = init_params(cfg, num_channels=4, rng=0)
+    model = build_model(cfg)
+    x = jnp.zeros((2, 64, cfg.input_width, 4))
+    overlap, orientation = model.apply(params, x, x)
+    w = leg_output_width(cfg)
+    assert overlap.shape == (2, 1)
+    assert orientation.shape == (2, w)
+    assert np.all(np.isfinite(np.asarray(overlap)))
+    assert np.all((np.asarray(overlap) >= 0) & (np.asarray(overlap) <= 1))
+
+
+def test_param_schema_names(small_model_cfg):
+    """Layer names are the checkpoint schema (reference infer.py:117-122:
+    weights load by name into split leg/head models)."""
+    params = init_params(small_model_cfg, num_channels=4)["params"]
+    legs = params["legs"]
+    for name in ["s_conv1", "s_conv2", "s_conv3", "s_conv3a", "s_conv4",
+                 "s_conv5", "s_conv6", "s_conv7", "s_conv8", "s_conv9",
+                 "s_conv10"]:
+        assert name in legs, f"missing {name}"
+        assert "kernel" in legs[name] and "bias" in legs[name]
+    head = params["overlap_head"]
+    for name in ["c_conv1", "c_conv2", "c_conv3", "overlap_output"]:
+        assert name in head
+    assert "orientation_head" not in params or not params["orientation_head"]
+
+
+def test_leg_head_split_matches_full(small_model_cfg):
+    """encode+score must equal the fused forward (the factorization that
+    makes descriptor caching sound, reference testing.py:6-13)."""
+    cfg = small_model_cfg
+    params = init_params(cfg, num_channels=4, rng=1)
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    x1 = jnp.asarray(rng.normal(size=(2, 64, cfg.input_width, 4)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(2, 64, cfg.input_width, 4)).astype(np.float32))
+
+    full_overlap, full_orient = model.apply(params, x1, x2)
+
+    leg_apply = make_leg_apply(cfg)
+    head_apply = make_head_apply(cfg)
+    fa = leg_apply(params, x1)
+    fb = leg_apply(params, x2)
+    assert fa.shape == (2, leg_output_width(cfg), 128)
+    split_overlap, split_orient = head_apply(params, fa, fb)
+
+    np.testing.assert_allclose(
+        np.asarray(full_overlap), np.asarray(split_overlap), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(full_orient), np.asarray(split_orient), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_delta_head_impls_agree(small_model_cfg):
+    cfg_xla = small_model_cfg
+    import dataclasses
+
+    cfg_mat = dataclasses.replace(cfg_xla, delta_head_impl="materialized")
+    params = init_params(cfg_xla, num_channels=4, rng=2)
+    rng = np.random.default_rng(1)
+    w = leg_output_width(cfg_xla)
+    fa = jnp.asarray(rng.normal(size=(2, w, 128)).astype(np.float32))
+    fb = jnp.asarray(rng.normal(size=(2, w, 128)).astype(np.float32))
+    o_xla = make_head_apply(cfg_xla)(params, fa, fb)
+    o_mat = make_head_apply(cfg_mat)(params, fa, fb)
+    np.testing.assert_allclose(
+        np.asarray(o_xla[0]), np.asarray(o_mat[0]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_self_pair_peak_at_center(small_model_cfg):
+    """A scan correlated with itself peaks at zero shift = center bin."""
+    cfg = small_model_cfg
+    params = init_params(cfg, num_channels=4, rng=3)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 64, cfg.input_width, 4)).astype(np.float32))
+    model = build_model(cfg)
+    _, orient = model.apply(params, x, x)
+    w = leg_output_width(cfg)
+    assert int(jnp.argmax(orient[0])) == w // 2
+
+
+def test_full_size_model_shapes():
+    """One full 64x900 forward to pin the production shape chain."""
+    cfg = ModelConfig()
+    params = init_params(cfg, num_channels=4, rng=0)
+    model = build_model(cfg)
+    x = jnp.zeros((1, 64, 900, 4))
+    overlap, orientation = model.apply(params, x, x)
+    assert overlap.shape == (1, 1)
+    assert orientation.shape == (1, 360)
+    # c_conv3 sees (360/15=24, 24) grid -> 22x22x256 flatten = 123904
+    kernel = params["params"]["overlap_head"]["overlap_output"]["kernel"]
+    assert kernel.shape[0] == 22 * 22 * 256
+
+
+def test_gradients_flow(small_model_cfg):
+    cfg = small_model_cfg
+    params = init_params(cfg, num_channels=4, rng=4)
+    model = build_model(cfg)
+    x1 = jnp.ones((1, 64, cfg.input_width, 4)) * 0.1
+    x2 = jnp.ones((1, 64, cfg.input_width, 4)) * 0.2
+
+    def loss_fn(p):
+        ov, orient = model.apply(p, x1, x2)
+        return jnp.sum(ov) + jnp.mean(orient**2)
+
+    grads = jax.grad(loss_fn)(params)
+    leaf = grads["params"]["legs"]["s_conv1"]["kernel"]
+    assert np.all(np.isfinite(np.asarray(leaf)))
+    assert np.abs(np.asarray(leaf)).sum() > 0

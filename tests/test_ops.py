@@ -1,0 +1,120 @@
+"""Unit tests for the compute ops against analytic numpy oracles (the
+reference's inline self-tests, reformulated: RangePadding2D.py:44-93,
+NormalizedCorrelation2D.py:112-144)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from overlapnet_tpu.ops.correlation import circular_correlation, wrap_pad
+from overlapnet_tpu.ops.delta import delta_conv1, delta_volume
+
+
+def brute_force_correlation(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """out[s] = sum_{w,c} a[(s + w - W//2) mod W, c] * b[w, c]."""
+    bsz, w, c = a.shape
+    out = np.zeros((bsz, w))
+    for s in range(w):
+        rolled = np.roll(a, -(s - w // 2), axis=1)  # rolled[w'] = a[w' + s - W//2]
+        out[:, s] = np.sum(rolled * b, axis=(1, 2))
+    return out
+
+
+def test_wrap_pad_oracle():
+    # pad([1 2 3 4], 2) -> [3 4 1 2 3 4 1]  (RangePadding2D.py:5)
+    x = jnp.asarray([1.0, 2.0, 3.0, 4.0]).reshape(1, 4, 1)
+    out = np.asarray(wrap_pad(x, 2)).ravel()
+    assert np.array_equal(out, [3, 4, 1, 2, 3, 4, 1])
+
+
+@pytest.mark.parametrize("method", ["fft", "conv"])
+def test_correlation_matches_bruteforce(method):
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(2, 36, 8)).astype(np.float32)
+    b = rng.normal(size=(2, 36, 8)).astype(np.float32)
+    out = np.asarray(
+        circular_correlation(jnp.asarray(a), jnp.asarray(b), method=method)
+    )
+    expected = brute_force_correlation(a, b)
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["fft", "conv"])
+def test_correlation_shift_equivariance(method):
+    """Rolling the right input by k bins moves the argmax so that
+    yaw = W//2 - argmax recovers k (the property behind infer.py:158)."""
+    rng = np.random.default_rng(1)
+    w = 60
+    a = rng.normal(size=(1, w, 16)).astype(np.float32)
+    for k in [0, 1, 7, 30, 59]:
+        b = np.roll(a, k, axis=1)
+        out = np.asarray(
+            circular_correlation(jnp.asarray(a), jnp.asarray(b), method=method)
+        )
+        peak = int(np.argmax(out[0]))
+        assert (w // 2 - peak) % w == k % w
+
+
+def test_correlation_methods_agree():
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(3, 90, 128)).astype(np.float32)
+    b = rng.normal(size=(3, 90, 128)).astype(np.float32)
+    out_fft = np.asarray(circular_correlation(jnp.asarray(a), jnp.asarray(b), method="fft"))
+    out_conv = np.asarray(circular_correlation(jnp.asarray(a), jnp.asarray(b), method="conv"))
+    np.testing.assert_allclose(out_fft, out_conv, rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize("normalize", ["euclidean", "scaling", "standardization"])
+def test_correlation_normalization_modes_run(normalize):
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(2, 24, 4)).astype(np.float32)
+    b = rng.normal(size=(2, 24, 4)).astype(np.float32)
+    out = np.asarray(
+        circular_correlation(jnp.asarray(a), jnp.asarray(b), normalize=normalize)
+    )
+    assert out.shape == (2, 24)
+    assert np.all(np.isfinite(out))
+
+
+def test_delta_volume_oracle():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(2, 6, 3)).astype(np.float32)
+    b = rng.normal(size=(2, 6, 3)).astype(np.float32)
+    out = np.asarray(delta_volume(jnp.asarray(a), jnp.asarray(b)))
+    expected = np.abs(a[:, :, None, :] - b[:, None, :, :])
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_delta_conv1_matches_materialized():
+    rng = np.random.default_rng(5)
+    bsz, w, c, s, f = 2, 90, 32, 15, 64
+    a = rng.normal(size=(bsz, w, c)).astype(np.float32)
+    b = rng.normal(size=(bsz, w, c)).astype(np.float32)
+    kernel = rng.normal(size=(1, s, c, f)).astype(np.float32) * 0.1
+    bias = rng.normal(size=(f,)).astype(np.float32)
+
+    fused = np.asarray(
+        delta_conv1(jnp.asarray(a), jnp.asarray(b), jnp.asarray(kernel), jnp.asarray(bias), stride=s)
+    )
+
+    # materialized oracle
+    diff = np.abs(a[:, :, None, :] - b[:, None, :, :])  # (B, W, W, C)
+    j = w // s
+    expected = np.zeros((bsz, w, j, f), np.float32)
+    for jo in range(j):
+        block = diff[:, :, jo * s : (jo + 1) * s, :].reshape(bsz, w, s * c)
+        expected[:, :, jo, :] = block @ kernel[0].reshape(s * c, f)
+    expected += bias
+
+    assert fused.shape == expected.shape
+    np.testing.assert_allclose(fused, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_delta_conv1_blocking_invariance():
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(1, 360, 8)).astype(np.float32)
+    b = rng.normal(size=(1, 360, 8)).astype(np.float32)
+    kernel = rng.normal(size=(1, 15, 8, 4)).astype(np.float32)
+    o1 = np.asarray(delta_conv1(jnp.asarray(a), jnp.asarray(b), jnp.asarray(kernel), block=24))
+    o2 = np.asarray(delta_conv1(jnp.asarray(a), jnp.asarray(b), jnp.asarray(kernel), block=360))
+    np.testing.assert_allclose(o1, o2, rtol=1e-5, atol=1e-5)
