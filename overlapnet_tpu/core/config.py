@@ -89,7 +89,9 @@ class ModelConfig:
     correlation_normalize: str = "none"
     # Yaw-head backend: 'fft' | 'conv' (grouped MXU conv) | 'auto'.
     correlation_method: str = "fft"
-    # Overlap-head backend: 'pallas' fused delta+conv1, 'xla' materialized.
+    # Overlap-head backend for the fused delta+c_conv1:
+    # 'xla' broadcast-diff + conv (XLA fuses; fastest on TPU),
+    # 'blocked' explicit i-blocked contraction, 'pallas' Pallas kernel.
     delta_head_impl: str = "xla"
     # Compute dtype for the forward pass ('float32' or 'bfloat16').
     compute_dtype: str = "float32"

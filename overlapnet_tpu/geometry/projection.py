@@ -5,12 +5,13 @@ TPU-first re-design of the reference's numpy geometry core
 
 - ``range_projection``: the reference sorts points by depth descending and
   scatters so the nearest point wins each pixel (utils.py:107-132). Unordered
-  scatter on TPU is nondeterministic under duplicate indices, so here the
-  z-buffer is a stable multi-key sort by (pixel_id, depth) followed by a
-  first-occurrence mask and a scatter with *unique* indices — bit-deterministic
-  and semantics-identical (nearest point wins; depth ties resolve to the
-  lowest point index, exactly like the reference's descending-sort overwrite
-  order).
+  scatter on TPU is nondeterministic under duplicate indices, and a full
+  multi-key sort of 140k points compiles pathologically slowly on TPU, so the
+  z-buffer is two associative scatter-mins: (1) per-pixel min depth, (2) among
+  the points matching that depth, the min original index. Both reductions are
+  order-independent => bit-deterministic, and the semantics are identical to
+  the reference (nearest point wins; depth ties resolve to the lowest point
+  index, exactly like the reference's descending-sort overwrite order).
 - ``normal_map``: the reference's O(H*W) double Python loop (utils.py:149-173)
   becomes shifted-array cross products on the full image.
 
@@ -101,48 +102,37 @@ def range_projection(
     # Invalid points go to an overflow bucket that the scatter drops.
     pix = jnp.where(valid, proj_y * proj_w + proj_x, n_pix)
 
-    # Deterministic z-buffer: stable sort by (pixel, depth); the first entry
-    # per pixel is the nearest point (ties -> lowest original index).
+    # Deterministic z-buffer via two associative scatter-mins (a multi-key
+    # sort of 140k points compiles pathologically slowly on TPU):
+    #   pass 1: nearest depth per pixel; pass 2: lowest original index among
+    #   the points at exactly that depth (the reference's tie-break).
     idx = jnp.arange(points.shape[0], dtype=jnp.int32)
-    sort_depth = jnp.where(valid, depth, jnp.inf)
-    pix_s, depth_s, idx_s = jax.lax.sort(
-        (pix, sort_depth, idx), num_keys=2, is_stable=True
+    win_depth = (
+        jnp.full((n_pix,), jnp.inf, jnp.float32)
+        .at[pix]
+        .min(jnp.where(valid, depth, jnp.inf), mode="drop")
     )
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), pix_s[1:] != pix_s[:-1]]
+    is_winner = valid & (depth == win_depth[jnp.minimum(pix, n_pix - 1)])
+    big = jnp.int32(points.shape[0])
+    win_idx = (
+        jnp.full((n_pix,), big, jnp.int32)
+        .at[pix]
+        .min(jnp.where(is_winner, idx, big), mode="drop")
     )
-    write_pix = jnp.where(first, pix_s, n_pix)
 
-    xyz_s = xyz[idx_s]
-    intensity_s = intensity[idx_s]
-
-    proj_range = (
-        jnp.full((n_pix,), -1.0, jnp.float32)
-        .at[write_pix]
-        .set(depth_s, mode="drop")
-        .reshape(proj_h, proj_w)
-    )
+    hit = win_idx < big
+    safe_idx = jnp.where(hit, win_idx, 0)
+    proj_range = jnp.where(hit, win_depth, -1.0).reshape(proj_h, proj_w)
     vertex_rows = jnp.concatenate(
-        [xyz_s, jnp.ones((xyz_s.shape[0], 1), jnp.float32)], axis=1
+        [xyz[safe_idx], jnp.ones((n_pix, 1), jnp.float32)], axis=1
     )
-    proj_vertex = (
-        jnp.full((n_pix, 4), -1.0, jnp.float32)
-        .at[write_pix, :]
-        .set(vertex_rows, mode="drop")
-        .reshape(proj_h, proj_w, 4)
+    proj_vertex = jnp.where(hit[:, None], vertex_rows, -1.0).reshape(
+        proj_h, proj_w, 4
     )
-    proj_intensity = (
-        jnp.full((n_pix,), -1.0, jnp.float32)
-        .at[write_pix]
-        .set(intensity_s, mode="drop")
-        .reshape(proj_h, proj_w)
+    proj_intensity = jnp.where(hit, intensity[safe_idx], -1.0).reshape(
+        proj_h, proj_w
     )
-    proj_idx = (
-        jnp.full((n_pix,), -1, jnp.int32)
-        .at[write_pix]
-        .set(idx_s, mode="drop")
-        .reshape(proj_h, proj_w)
-    )
+    proj_idx = jnp.where(hit, win_idx, -1).reshape(proj_h, proj_w)
     return proj_range, proj_vertex, proj_intensity, proj_idx
 
 

@@ -1,0 +1,64 @@
+"""Device mesh and sharding helpers.
+
+The reference has no distributed machinery at all (SURVEY.md §2: single GPU,
+keras loader threads only). This module is the TPU-native scaling layer:
+an explicit ``jax.sharding.Mesh`` with named axes
+
+  - 'data'  : batch (pair) dimension for training — data parallelism
+  - 'db'    : descriptor-database N axis for serving — map parallelism
+
+XLA inserts the collectives; nothing here talks to transports directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """A 1-D (default) mesh over the first ``n_devices`` devices.
+
+    With multiple axis names, the first axis takes all devices and the rest
+    have size 1 (extend when a real multi-axis layout is profiled in).
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Device-put a pytree of host arrays with the leading dim sharded."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad the leading dim up to a multiple (for even sharding); returns the
+    padded array and the original length."""
+    n = batch.shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch, n
+    pad = multiple - rem
+    pad_block = np.repeat(batch[-1:], pad, axis=0)
+    return np.concatenate([batch, pad_block], axis=0), n

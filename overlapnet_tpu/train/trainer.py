@@ -1,0 +1,206 @@
+"""pjit training loop.
+
+Replaces the reference's single-GPU keras ``fit_generator`` epoch loop
+(reference: training.py:336-420) with an SPMD train step jitted over an
+explicit device mesh: parameters and optimizer state replicated, the pair
+batch sharded over the 'data' axis. XLA inserts the gradient psum.
+
+Optimizer parity: keras Adagrad(lr) with zero-initialized accumulator and
+eps=1e-7 (training.py:253) == optax.adagrad(initial_accumulator_value=0.0,
+eps=1e-7); LR schedule from train.schedule. Loss weights 5:1
+(training.py:257). The 'Fixed' legs variant (generateNet.py:222-324) is a
+gradient mask here instead of a duplicate frozen module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from overlapnet_tpu.core.config import OverlapNetConfig
+from overlapnet_tpu.models import build_model, init_params, leg_output_width
+from overlapnet_tpu.train.losses import combined_loss, orientation_target
+from overlapnet_tpu.train.schedule import reference_lr_schedule
+
+Params = Any
+
+
+class TrainState(struct.PyTreeNode):
+    params: Params
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_optimizer(cfg: OverlapNetConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = reference_lr_schedule(
+        cfg.train.learning_rate, cfg.train.lr_alpha, steps_per_epoch
+    )
+    tx = optax.adagrad(
+        learning_rate=schedule, initial_accumulator_value=0.0, eps=1e-7
+    )
+    if not cfg.model.legs_trainable:
+        # Freeze the legs: zero their updates (360OutputkLegsFixed semantics).
+        def label_fn(params):
+            return jax.tree.map_with_path(
+                lambda path, _: "frozen"
+                if any(getattr(k, "key", None) == "legs" for k in path)
+                else "trained",
+                params,
+            )
+
+        tx = optax.multi_transform(
+            {"trained": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
+    return tx
+
+
+def create_train_state(
+    cfg: OverlapNetConfig, steps_per_epoch: int, rng: int | jax.Array = 0
+) -> tuple[TrainState, optax.GradientTransformation]:
+    params = init_params(cfg.model, cfg.num_input_channels, rng)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return (
+        TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)),
+        tx,
+    )
+
+
+def make_train_step(
+    cfg: OverlapNetConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh | None = None,
+) -> Callable[[TrainState, Mapping[str, jax.Array]], tuple[TrainState, dict]]:
+    """Build the jitted SPMD train step.
+
+    Batch dict: x1, x2 (B, H, W, C) range-image pairs; overlap (B,);
+    orientation (B,) integer yaw bins.
+    """
+    model = build_model(cfg.model)
+    output_size = leg_output_width(cfg.model)
+    pos_weight = float(output_size)  # network_output_size (training.py:243)
+
+    def loss_fn(params, batch):
+        overlap_pred, orient_logits = model.apply(params, batch["x1"], batch["x2"])
+        target_vec = orientation_target(
+            batch["orientation"], batch["overlap"], output_size
+        )
+        return combined_loss(
+            overlap_pred,
+            orient_logits,
+            batch["overlap"],
+            target_vec,
+            pos_weight=pos_weight,
+            min_overlap_for_angle=cfg.train.min_overlap_for_angle,
+            overlap_weight=cfg.train.overlap_loss_weight,
+            orientation_weight=cfg.train.orientation_loss_weight,
+        )
+
+    def step_fn(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {**metrics, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    batch_shardings = {"x1": data, "x2": data, "overlap": data, "orientation": data}
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_shardings),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: OverlapNetConfig, mesh: Mesh | None = None):
+    """Jitted forward producing (overlap (B,), yaw_argmax (B,)) for the
+    validation metrics of the reference epoch loop (training.py:352-416)."""
+    model = build_model(cfg.model)
+
+    def eval_fn(params, batch):
+        overlap_pred, orient_logits = model.apply(params, batch["x1"], batch["x2"])
+        return jnp.reshape(overlap_pred, (-1,)), jnp.argmax(orient_logits, axis=-1)
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    batch_shardings = {"x1": data, "x2": data}
+    return jax.jit(
+        eval_fn,
+        in_shardings=(repl, {**batch_shardings}),
+        out_shardings=(data, data),
+    )
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch-driven trainer mirroring the reference loop: per-epoch training,
+    checkpoint save, validation metrics (overlap mean/max/RMS; yaw RMS at
+    overlap thresholds 0.3-0.9, reference training.py:336-420)."""
+
+    cfg: OverlapNetConfig
+    steps_per_epoch: int
+    mesh: Mesh | None = None
+
+    def __post_init__(self):
+        self.state, self.tx = create_train_state(self.cfg, self.steps_per_epoch, self.cfg.train.seed)
+        self.train_step = make_train_step(self.cfg, self.tx, self.mesh)
+        self.eval_step = make_eval_step(self.cfg)
+
+    def run_epoch(self, batches) -> dict:
+        last_metrics = {}
+        total = 0.0
+        count = 0
+        for batch in batches:
+            self.state, metrics = self.train_step(self.state, batch)
+            last_metrics = metrics
+            total += float(metrics["loss"])
+            count += 1
+        if count:
+            last_metrics = {**last_metrics, "epoch_loss": total / count}
+        return {k: float(v) for k, v in last_metrics.items()}
+
+    def evaluate(self, batches, orientations=None, overlaps=None) -> dict:
+        """Validation metrics over an iterable of eval batches (each with
+        x1, x2, overlap, orientation host arrays)."""
+        import numpy as np
+
+        pred_overlap, pred_yaw, true_overlap, true_yaw = [], [], [], []
+        for batch in batches:
+            ov, yaw = self.eval_step(
+                self.state.params, {"x1": batch["x1"], "x2": batch["x2"]}
+            )
+            pred_overlap.append(np.asarray(ov))
+            pred_yaw.append(np.asarray(yaw))
+            true_overlap.append(np.asarray(batch["overlap"]))
+            true_yaw.append(np.asarray(batch["orientation"]))
+        pred_overlap = np.concatenate(pred_overlap)
+        pred_yaw = np.concatenate(pred_yaw)
+        true_overlap = np.concatenate(true_overlap)
+        true_yaw = np.concatenate(true_yaw)
+
+        from overlapnet_tpu.train.evaluate import overlap_metrics, yaw_metrics
+
+        metrics = overlap_metrics(pred_overlap, true_overlap)
+        w = leg_output_width(self.cfg.model)
+        for thr in [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]:
+            m = yaw_metrics(pred_yaw, true_yaw, pred_overlap, w, overlap_threshold=thr)
+            if m:
+                metrics[f"yaw_rms@{thr}"] = m["rms_error"]
+        return metrics

@@ -82,16 +82,16 @@ def test_delta_head_impls_agree(small_model_cfg):
     cfg_xla = small_model_cfg
     import dataclasses
 
-    cfg_mat = dataclasses.replace(cfg_xla, delta_head_impl="materialized")
+    cfg_blk = dataclasses.replace(cfg_xla, delta_head_impl="blocked")
     params = init_params(cfg_xla, num_channels=4, rng=2)
     rng = np.random.default_rng(1)
     w = leg_output_width(cfg_xla)
     fa = jnp.asarray(rng.normal(size=(2, w, 128)).astype(np.float32))
     fb = jnp.asarray(rng.normal(size=(2, w, 128)).astype(np.float32))
     o_xla = make_head_apply(cfg_xla)(params, fa, fb)
-    o_mat = make_head_apply(cfg_mat)(params, fa, fb)
+    o_blk = make_head_apply(cfg_blk)(params, fa, fb)
     np.testing.assert_allclose(
-        np.asarray(o_xla[0]), np.asarray(o_mat[0]), rtol=1e-4, atol=1e-5
+        np.asarray(o_xla[0]), np.asarray(o_blk[0]), rtol=1e-4, atol=1e-5
     )
 
 

@@ -110,6 +110,41 @@ def test_delta_conv1_matches_materialized():
     np.testing.assert_allclose(fused, expected, rtol=1e-4, atol=1e-4)
 
 
+def test_delta_conv1_pallas_matches_fused():
+    """Pallas fused kernel (interpret mode on CPU) == blocked XLA path."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from overlapnet_tpu.ops.pallas_delta import delta_conv1_pallas
+
+    rng = np.random.default_rng(7)
+    bsz, w, c, s, f = 2, 90, 32, 15, 16
+    a = jnp.asarray(rng.normal(size=(bsz, w, c)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(bsz, w, c)).astype(np.float32))
+    kernel = jnp.asarray(rng.normal(size=(1, s, c, f)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.normal(size=(f,)).astype(np.float32))
+
+    expected = np.asarray(delta_conv1(a, b, kernel, bias, stride=s))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(delta_conv1_pallas(a, b, kernel, bias, stride=s))
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+    # custom-VJP backward == autodiff through the blocked path
+    def loss_p(a, b, k):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(delta_conv1_pallas(a, b, k, stride=s) ** 2)
+
+    def loss_x(a, b, k):
+        return jnp.sum(delta_conv1(a, b, k, stride=s) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(a, b, kernel[0])
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(a, b, kernel)
+    for p_, x_ in zip(gp, (gx[0], gx[1], gx[2][0])):
+        np.testing.assert_allclose(
+            np.asarray(p_), np.asarray(x_), rtol=1e-3, atol=1e-3
+        )
+
+
 def test_delta_conv1_blocking_invariance():
     rng = np.random.default_rng(6)
     a = rng.normal(size=(1, 360, 8)).astype(np.float32)

@@ -1,0 +1,156 @@
+"""Training-step tests: loss oracles, optimizer/schedule parity, SPMD step on
+the 8-device virtual mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from overlapnet_tpu.core.config import OverlapNetConfig
+from overlapnet_tpu.train.losses import (
+    combined_loss,
+    orientation_target,
+    sigmoid_overlap_loss,
+    weighted_orientation_entropy,
+)
+from overlapnet_tpu.train.schedule import reference_lr_schedule
+
+
+def small_cfg(batch_size=4):
+    cfg = OverlapNetConfig()
+    cfg.model.input_width = 360
+    cfg.model.leg_output_width = 90
+    cfg.train.batch_size = batch_size
+    return cfg
+
+
+def make_batch(cfg, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    b = cfg.train.batch_size
+    return {
+        "x1": rng.normal(size=(b, 64, cfg.model.input_width, 4)).astype(np.float32),
+        "x2": rng.normal(size=(b, 64, cfg.model.input_width, 4)).astype(np.float32),
+        "overlap": rng.uniform(size=(b,)).astype(np.float32),
+        "orientation": rng.integers(0, 90, size=(b,)).astype(np.int32),
+    }
+
+
+def test_sigmoid_loss_oracle():
+    # 1/(1+exp(-((|d|+0.25)*24-12))) (training.py:77-81)
+    pred = jnp.asarray([0.5, 0.9])
+    true = jnp.asarray([0.5, 0.1])
+    # d=0 -> sigmoid(-6); d=0.8 -> sigmoid(13.2)
+    expected = np.mean([1 / (1 + np.exp(6.0)), 1 / (1 + np.exp(-13.2))])
+    got = float(sigmoid_overlap_loss(pred, true))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_orientation_target_oracle():
+    tgt = np.asarray(orientation_target(jnp.asarray([2, 0]), jnp.asarray([0.9, 0.3]), 4))
+    expected = np.zeros((2, 4), np.float32)
+    expected[0, 2] = 0.9
+    expected[1, 0] = 0.3
+    np.testing.assert_allclose(tgt, expected)
+
+
+def test_weighted_entropy_oracle():
+    """Match tf.nn.weighted_cross_entropy_with_logits semantics via the
+    unstable textbook formula on safe values."""
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(3, 8)).astype(np.float32)
+    target = rng.uniform(size=(3, 8)).astype(np.float32)
+    pw = 8.0
+    z = (target > 0.7).astype(np.float64)
+    x = logits.astype(np.float64)
+    # textbook: -[pw * z * log(sig(x)) + (1-z) * log(1 - sig(x))]
+    sig = 1 / (1 + np.exp(-x))
+    expected = -(pw * z * np.log(sig) + (1 - z) * np.log(1 - sig))
+    got = float(weighted_orientation_entropy(jnp.asarray(logits), jnp.asarray(target), pw))
+    np.testing.assert_allclose(got, expected.mean(), rtol=1e-5)
+
+
+def test_lr_schedule_oracle():
+    sched = reference_lr_schedule(0.001, 0.99, steps_per_epoch=10)
+    assert np.isclose(float(sched(0)), 0.0001)  # epoch 0: 0.1x
+    assert np.isclose(float(sched(9)), 0.0001)
+    assert np.isclose(float(sched(10)), 0.001)  # epoch 1: alpha^0
+    assert np.isclose(float(sched(25)), 0.001 * 0.99)  # epoch 2
+    assert np.isclose(float(sched(105)), 0.001 * 0.99**9)
+
+
+def test_train_step_single_device_decreases_loss():
+    cfg = small_cfg()
+    from overlapnet_tpu.train.trainer import create_train_state, make_train_step
+
+    state, tx = create_train_state(cfg, steps_per_epoch=100, rng=0)
+    step = make_train_step(cfg, tx)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg).items()}
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+
+
+def test_train_step_multichip_mesh():
+    """The full DP train step must compile and run on the 8-device CPU mesh."""
+    cfg = small_cfg(batch_size=8)
+    from overlapnet_tpu.parallel.mesh import make_mesh, shard_batch
+    from overlapnet_tpu.train.trainer import create_train_state, make_train_step
+
+    mesh = make_mesh(8)
+    state, tx = create_train_state(cfg, steps_per_epoch=10, rng=0)
+    step = make_train_step(cfg, tx, mesh)
+    with mesh:
+        batch = shard_batch(mesh, make_batch(cfg))
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_matches_single_device():
+    """Data-parallel gradients must equal single-device gradients."""
+    cfg = small_cfg(batch_size=8)
+    from overlapnet_tpu.parallel.mesh import make_mesh, shard_batch
+    from overlapnet_tpu.train.trainer import create_train_state, make_train_step
+
+    batch_np = make_batch(cfg, rng_seed=3)
+
+    state1, tx1 = create_train_state(cfg, steps_per_epoch=10, rng=0)
+    step1 = make_train_step(cfg, tx1)
+    s1, m1 = step1(state1, {k: jnp.asarray(v) for k, v in batch_np.items()})
+
+    mesh = make_mesh(8)
+    state8, tx8 = create_train_state(cfg, steps_per_epoch=10, rng=0)
+    step8 = make_train_step(cfg, tx8, mesh)
+    with mesh:
+        s8, m8 = step8(state8, shard_batch(mesh, batch_np))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    k1 = np.asarray(s1.params["params"]["legs"]["s_conv1"]["kernel"])
+    k8 = np.asarray(s8.params["params"]["legs"]["s_conv1"]["kernel"])
+    np.testing.assert_allclose(k1, k8, rtol=1e-4, atol=1e-6)
+
+
+def test_frozen_legs_do_not_update():
+    cfg = small_cfg()
+    cfg.model.legs_trainable = False
+    from overlapnet_tpu.train.trainer import create_train_state, make_train_step
+
+    state, tx = create_train_state(cfg, steps_per_epoch=10, rng=0)
+    before = np.asarray(state.params["params"]["legs"]["s_conv1"]["kernel"]).copy()
+    head_before = np.asarray(
+        state.params["params"]["overlap_head"]["c_conv2"]["kernel"]
+    ).copy()
+    step = make_train_step(cfg, tx)
+    state, _ = step(state, {k: jnp.asarray(v) for k, v in make_batch(cfg).items()})
+    after = np.asarray(state.params["params"]["legs"]["s_conv1"]["kernel"])
+    head_after = np.asarray(state.params["params"]["overlap_head"]["c_conv2"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+    assert not np.array_equal(head_before, head_after)
