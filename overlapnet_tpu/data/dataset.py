@@ -1,0 +1,259 @@
+"""Host-side input pipeline: pair-image batches for training/eval.
+
+Re-design of the reference's keras Sequence generators (reference:
+src/two_heads/ImagePairOverlapOrientationSequence.py:87-212,
+ImagePairOverlapSequenceFeatureVolume.py:9-47). Differences, TPU-first:
+
+- the reference ``np.load``s every channel image from disk for every pair in
+  every epoch; here scans are assembled once into an in-host-RAM cache (a
+  KITTI sequence is ~1 GB at 64x900x4 fp32) or memory-mapped from a per-
+  sequence pack file (``pack.py``), and pairs index into it;
+- batches are materialized by a background thread (double buffering) so the
+  accelerator never waits on IO;
+- the random right-image circular-shift augmentation (rotate_data 0/1/2,
+  reference :42-53, 75-80, 209-212) is reproduced exactly — including the
+  reference quirk that the yaw label is NOT adjusted for the shift (documented
+  in SURVEY.md §2; the legs are VALID convs, so an input-column shift has no
+  exact label-space equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from typing import Iterator, Mapping, Sequence
+
+import numpy as np
+
+from overlapnet_tpu.core.config import ChannelConfig
+from overlapnet_tpu.data.gt_files import PairList
+
+
+def load_channel_image(
+    image_root: str, seq_dir: str, kind: str, name: str
+) -> np.ndarray:
+    """Load one channel image ``<root>/<seq>/<kind>/<name>.npy`` (.npz
+    fallback like the reference's probability/intensity paths)."""
+    base = os.path.join(image_root, seq_dir, kind, name)
+    if os.path.exists(base + ".npy"):
+        return np.load(base + ".npy")
+    return np.load(base + ".npz")["arr_0"]
+
+
+def assemble_scan_image(
+    image_root: str,
+    seq_dir: str,
+    name: str,
+    channels: ChannelConfig,
+    height: int,
+    width: int,
+) -> np.ndarray:
+    """Stack the configured channels into one (H, W, C) float32 image, in the
+    reference's channel order (ImagePairOverlapOrientationSequence.py:142-207)."""
+    out = np.zeros((height, width, channels.num_channels), np.float32)
+    c = 0
+    for kind, nch in channels.channel_kinds():
+        img = load_channel_image(image_root, seq_dir, kind, name)
+        if img.ndim == 2:
+            img = img[..., None]
+        out[:, :, c : c + nch] = img[:height, :width, :nch]
+        c += nch
+    return out
+
+
+class _ScanCache:
+    """Thread-safe cache of assembled (H, W, C) scan images keyed by
+    (seq_dir, name); backed by per-image files or a pack memmap."""
+
+    def __init__(self, image_root, channels, height, width, packs=None):
+        self._root = image_root
+        self._channels = channels
+        self._h, self._w = height, width
+        self._packs = packs or {}
+        self._cache: dict[tuple[str, str], np.ndarray] = {}
+        self._lock = threading.Lock()
+
+    def get(self, seq_dir: str, name: str) -> np.ndarray:
+        key = (seq_dir, name)
+        with self._lock:
+            img = self._cache.get(key)
+        if img is not None:
+            return img
+        if seq_dir in self._packs:
+            img = self._packs[seq_dir].image(name)
+        else:
+            img = assemble_scan_image(
+                self._root, seq_dir, name, self._channels, self._h, self._w
+            )
+        with self._lock:
+            self._cache[key] = img
+        return img
+
+
+class PairImageDataset:
+    """Batches of (x1, x2, overlap, orientation) for a list of scan pairs.
+
+    Args mirror the reference generator's (ImagePairOverlapOrientation
+    Sequence.py:17-55); ``orientation`` stays an integer yaw-bin per pair
+    (the trainer builds the target vector on device, train/losses.py).
+    """
+
+    def __init__(
+        self,
+        image_root: str,
+        pairs: PairList,
+        channels: ChannelConfig,
+        height: int = 64,
+        width: int = 900,
+        rotate_data: int = 0,
+        seed: int = 1234,
+        packs: Mapping[str, "SequencePack"] | None = None,
+    ):
+        self.pairs = pairs
+        self.width = width
+        self.rotate_data = rotate_data
+        self._cache = _ScanCache(image_root, channels, height, width, packs)
+        self._rng = random.Random(seed)
+        self._shifts = self._draw_shifts()
+
+    def _draw_shifts(self) -> np.ndarray:
+        # randint(0, width) inclusive, like the reference (:51-53).
+        return np.array(
+            [self._rng.randint(0, self.width) for _ in range(len(self.pairs))]
+        )
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _example(self, i: int) -> tuple[np.ndarray, np.ndarray, float, int]:
+        p = self.pairs
+        x1 = self._cache.get(p.dir1[i], p.imgf1[i])
+        x2 = self._cache.get(p.dir2[i], p.imgf2[i])
+        if self.rotate_data > 0:
+            x2 = np.roll(x2, int(self._shifts[i]), axis=1)
+        return x1, x2, float(p.overlap[i]), int(p.orientation[i])
+
+    def batches(
+        self,
+        batch_size: int,
+        epoch: int = 0,
+        shuffle: bool = False,
+        drop_remainder: bool = False,
+        prefetch: int = 2,
+        max_batches: int | None = None,
+    ) -> Iterator[dict]:
+        """Yield batch dicts {x1, x2, overlap, orientation} (host numpy),
+        assembled by a background thread."""
+        if self.rotate_data == 2 and epoch > 0:
+            self._shifts = self._draw_shifts()
+
+        order = np.arange(len(self.pairs))
+        if shuffle:
+            np.random.default_rng(hash(("epoch", epoch)) % (2**32)).shuffle(order)
+
+        n = len(order)
+        starts = list(range(0, n, batch_size))
+        if drop_remainder:
+            starts = [s for s in starts if s + batch_size <= n]
+        if max_batches is not None:
+            starts = starts[:max_batches]
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def make_batch(start: int) -> dict:
+            idx = order[start : start + batch_size]
+            xs1, xs2, ovs, ors = [], [], [], []
+            for i in idx:
+                x1, x2, ov, orient = self._example(int(i))
+                xs1.append(x1)
+                xs2.append(x2)
+                ovs.append(ov)
+                ors.append(orient)
+            return {
+                "x1": np.stack(xs1),
+                "x2": np.stack(xs2),
+                "overlap": np.asarray(ovs, np.float32),
+                "orientation": np.asarray(ors, np.int32),
+            }
+
+        def worker():
+            try:
+                for s in starts:
+                    if stop.is_set():
+                        return
+                    q.put(make_batch(s))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+            # Drain so the worker's blocked put() can observe the stop flag.
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+class FeatureVolumePairs:
+    """Pair batches over precomputed leg feature volumes — the descriptor-
+    reuse path of evaluation/serving (reference
+    ImagePairOverlapSequenceFeatureVolume.py:9-47)."""
+
+    def __init__(
+        self,
+        feature_volumes: np.ndarray,  # (N, W', C)
+        idx1: np.ndarray,
+        idx2: np.ndarray,
+        overlap: np.ndarray | None = None,
+        orientation: np.ndarray | None = None,
+    ):
+        self.fv = feature_volumes
+        self.idx1 = np.asarray(idx1, np.int64)
+        self.idx2 = np.asarray(idx2, np.int64)
+        self.overlap = overlap
+        self.orientation = orientation
+
+    def __len__(self) -> int:
+        return len(self.idx1)
+
+    def batches(self, batch_size: int) -> Iterator[dict]:
+        for s in range(0, len(self), batch_size):
+            sl = slice(s, s + batch_size)
+            batch = {
+                "fa": self.fv[self.idx1[sl]],
+                "fb": self.fv[self.idx2[sl]],
+            }
+            if self.overlap is not None:
+                batch["overlap"] = np.asarray(self.overlap[sl], np.float32)
+            if self.orientation is not None:
+                batch["orientation"] = np.asarray(self.orientation[sl], np.int32)
+            yield batch
+
+
+def unique_scans(pairs: PairList) -> tuple[list[tuple[str, str]], np.ndarray, np.ndarray]:
+    """Deduplicate the scans referenced by a pair list.
+
+    Returns (scans, idx1, idx2): ``scans`` is the sorted unique list of
+    (seq_dir, name); idx1/idx2 map each pair's left/right scan into it — the
+    argsort/searchsorted indexing of reference testing.py:237-248, so each
+    scan's embedding is computed exactly once.
+    """
+    keys = sorted(
+        set(zip(pairs.dir1, pairs.imgf1)) | set(zip(pairs.dir2, pairs.imgf2))
+    )
+    lookup = {k: i for i, k in enumerate(keys)}
+    idx1 = np.array([lookup[k] for k in zip(pairs.dir1, pairs.imgf1)], np.int64)
+    idx2 = np.array([lookup[k] for k in zip(pairs.dir2, pairs.imgf2)], np.int64)
+    return keys, idx1, idx2

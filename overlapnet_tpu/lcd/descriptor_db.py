@@ -1,0 +1,217 @@
+"""Descriptor database: cached leg embeddings scored by the pairwise heads.
+
+The reference keeps a growing python list of feature volumes inside ``Infer``
+(reference infer.py:114, 184-185) and scores candidates through a keras
+generator. Here the database is a fixed-capacity device array with jitted,
+shape-bucketed scoring (no recompiles as the map grows), and a sharded
+variant that distributes the N axis over a device mesh — the framework's
+scaling dimension (SURVEY.md §5 "descriptor-map sharding"): the query is
+replicated, every shard scores its rows locally, and the global best is a
+cheap argmax on the gathered scores.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Next power-of-two bucket >= n (static shapes for jit)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class DescriptorDB:
+    """Single-host descriptor DB over one device.
+
+    Args:
+      head_apply: (params, fa, fb) -> (overlap (B, 1), orientation (B, W')).
+      params: model parameters (the head reads its own subtree).
+      capacity: maximum number of stored embeddings.
+      width, channels: embedding shape (reference: 360, 128).
+    """
+
+    def __init__(
+        self,
+        head_apply: Callable,
+        params,
+        capacity: int = 8192,
+        width: int = 360,
+        channels: int = 128,
+    ):
+        self._head = head_apply
+        self._params = params
+        self._fv = np.zeros((capacity, width, channels), np.float32)
+        self._n = 0
+        self._jit_cache: dict[int, Callable] = {}
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def feature_volumes(self) -> np.ndarray:
+        return self._fv[: self._n]
+
+    def add(self, fv: np.ndarray) -> int:
+        """Append one (W', C) or a batch (K, W', C) of embeddings; returns the
+        first new index."""
+        fv = np.asarray(fv, np.float32)
+        if fv.ndim == 2:
+            fv = fv[None]
+        k = fv.shape[0]
+        if self._n + k > self._fv.shape[0]:
+            raise ValueError(
+                f"DescriptorDB capacity {self._fv.shape[0]} exceeded"
+            )
+        self._fv[self._n : self._n + k] = fv
+        first = self._n
+        self._n += k
+        return first
+
+    def _scorer(self, bucket: int) -> Callable:
+        if bucket not in self._jit_cache:
+
+            @jax.jit
+            def score(params, fa, fb):
+                overlap, logits = self._head(params, fa, fb)
+                return jnp.reshape(overlap, (-1,)), jnp.argmax(logits, axis=-1)
+
+            self._jit_cache[bucket] = score
+        return self._jit_cache[bucket]
+
+    def score_pairs(
+        self, idx1: np.ndarray, idx2: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Score stored pairs; returns (overlap (n,), yaw_bin_argmax (n,)).
+
+        Pads to a power-of-two bucket so the jit cache stays small.
+        """
+        idx1 = np.asarray(idx1, np.int64)
+        idx2 = np.asarray(idx2, np.int64)
+        n = len(idx1)
+        if n == 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int64)
+        b = _bucket(n)
+        pad = b - n
+        fa = self._fv[np.concatenate([idx1, np.zeros(pad, np.int64)])]
+        fb = self._fv[np.concatenate([idx2, np.zeros(pad, np.int64)])]
+        overlap, yaw = self._scorer(b)(self._params, fa, fb)
+        return np.asarray(overlap)[:n], np.asarray(yaw)[:n]
+
+    def query(
+        self, query_fv: np.ndarray, candidate_idxs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Score one query embedding against stored candidates.
+
+        Returns (overlaps (k,), yaw_bins (k,)); candidates are the *left*
+        input and the query the *right*, matching reference
+        infer.infer_multiple (infer.py:186-190).
+        """
+        k = len(candidate_idxs)
+        if k == 0:
+            return np.zeros(0, np.float32), np.zeros(0, np.int64)
+        b = _bucket(k)
+        pad = b - k
+        idxs = np.concatenate([np.asarray(candidate_idxs, np.int64), np.zeros(pad, np.int64)])
+        fa = self._fv[idxs]
+        fb = np.broadcast_to(
+            np.asarray(query_fv, np.float32)[None], fa.shape
+        ).copy()
+        overlap, yaw = self._scorer(b)(self._params, fa, fb)
+        return np.asarray(overlap)[:k], np.asarray(yaw)[:k]
+
+
+class ShardedDescriptorDB:
+    """Descriptor DB sharded over a mesh axis (default 'data').
+
+    The (capacity, W', C) store lives row-sharded across devices; queries
+    broadcast the query embedding, each device scores its rows, and results
+    come back row-sharded (XLA handles layout; the host sees one logical
+    array). For a single host this overlaps the head compute across all local
+    devices; across hosts the same code scales via jax.distributed.
+    """
+
+    def __init__(
+        self,
+        head_apply: Callable,
+        params,
+        mesh: Mesh,
+        capacity: int = 8192,
+        width: int = 360,
+        channels: int = 128,
+        axis: str = "data",
+    ):
+        self._head = head_apply
+        self._mesh = mesh
+        self._axis = axis
+        n_dev = mesh.shape[axis]
+        capacity = ((capacity + n_dev - 1) // n_dev) * n_dev
+        self._row_sharding = NamedSharding(mesh, P(axis))
+        self._repl = NamedSharding(mesh, P())
+        self._fv = jax.device_put(
+            jnp.zeros((capacity, width, channels), jnp.float32),
+            self._row_sharding,
+        )
+        self._params = jax.device_put(params, self._repl)
+        self._n = 0
+
+        @jax.jit
+        def _insert(fv_store, new_fv, at):
+            return jax.lax.dynamic_update_slice(
+                fv_store, new_fv, (at, 0, 0)
+            )
+
+        self._insert = _insert
+
+        def _query(params, fv_store, query_fv, valid_mask):
+            fb = jnp.broadcast_to(query_fv[None], fv_store.shape)
+            overlap, logits = self._head(params, fv_store, fb)
+            overlap = jnp.where(valid_mask, jnp.reshape(overlap, (-1,)), -1.0)
+            return overlap, jnp.argmax(logits, axis=-1)
+
+        self._query = jax.jit(
+            _query,
+            in_shardings=(self._repl, self._row_sharding, self._repl, self._row_sharding),
+            out_shardings=(self._row_sharding, self._row_sharding),
+        )
+
+    def __len__(self) -> int:
+        return self._n
+
+    def add(self, fv: np.ndarray) -> int:
+        fv = np.asarray(fv, np.float32)
+        if fv.ndim == 2:
+            fv = fv[None]
+        if self._n + fv.shape[0] > self._fv.shape[0]:
+            raise ValueError("ShardedDescriptorDB capacity exceeded")
+        self._fv = self._insert(self._fv, jnp.asarray(fv), self._n)
+        first = self._n
+        self._n += fv.shape[0]
+        return first
+
+    def query_all(
+        self, query_fv: np.ndarray, candidate_mask: np.ndarray | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Score the query against every stored row (masked rows score -1).
+
+        Returns host (overlaps (capacity,), yaw_bins (capacity,)); only the
+        first ``len(self)`` entries are live.
+        """
+        mask = np.zeros(self._fv.shape[0], bool)
+        mask[: self._n] = True
+        if candidate_mask is not None:
+            mask[: len(candidate_mask)] &= candidate_mask[: self._fv.shape[0]]
+        overlap, yaw = self._query(
+            self._params,
+            self._fv,
+            jnp.asarray(query_fv, jnp.float32),
+            jax.device_put(jnp.asarray(mask), self._row_sharding),
+        )
+        return np.asarray(overlap), np.asarray(yaw)

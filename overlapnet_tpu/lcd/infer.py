@@ -1,0 +1,182 @@
+"""Inference engine / serving API.
+
+API-parity re-design of the reference ``Infer`` class (reference
+src/two_heads/infer.py:22-265): leg/head factorization with an incremental
+embedding cache, three entry points (``infer_one``, ``infer_multiple``,
+``infer_multiple_vs_multiple``) and ``create_feature_volumes``. Differences:
+
+- compute is jitted JAX on TPU with shape-bucketed batches (no keras
+  generators / worker threads);
+- the embedding cache is a ``DescriptorDB`` (fixed-capacity device-friendly
+  store) instead of a python list;
+- weights load from this framework's npz param export or an orbax checkpoint
+  directory (``ExperimentConfig.pretrained_weightsfilename``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from overlapnet_tpu.core.config import OverlapNetConfig
+from overlapnet_tpu.data.dataset import assemble_scan_image
+from overlapnet_tpu.lcd.descriptor_db import DescriptorDB, _bucket
+from overlapnet_tpu.models import (
+    build_model,
+    init_params,
+    leg_output_width,
+    make_head_apply,
+    make_leg_apply,
+)
+
+
+class Infer:
+    """Overlap + yaw inference between LiDAR scans.
+
+    Args:
+      cfg: full framework config. Scan inputs are read as preprocessed
+        channel images from ``cfg.data.data_root_folder/cfg.data.infer_seqs``
+        (same disk contract as the reference, infer.py:143-148).
+      params: optional parameter tree; otherwise loaded from
+        ``cfg.experiment.pretrained_weightsfilename`` (.npz export or orbax
+        dir), falling back to fresh initialization with a warning like the
+        reference (infer.py:117-122).
+    """
+
+    def __init__(self, cfg: OverlapNetConfig, params=None, db_capacity: int = 8192):
+        self.cfg = cfg
+        self.output_size = leg_output_width(cfg.model)
+        self.params = params if params is not None else self._load_params()
+        self._leg_apply = jax.jit(make_leg_apply(cfg.model))
+        self._db = DescriptorDB(
+            make_head_apply(cfg.model),
+            self.params,
+            capacity=db_capacity,
+            width=self.output_size,
+        )
+        # frame-id -> db index; infer_multiple appends one embedding per call
+        # so ids stay aligned like the reference's list (infer.py:184-185).
+        self._frame_rows: dict[int, int] = {}
+
+    # -- weights ---------------------------------------------------------
+
+    def _load_params(self):
+        path = self.cfg.experiment.pretrained_weightsfilename
+        params = init_params(self.cfg.model, self.cfg.num_input_channels, rng=0)
+        if path:
+            if path.endswith(".npz") and os.path.exists(path):
+                from overlapnet_tpu.train.checkpoint import load_params_npz
+
+                return load_params_npz(path, params)
+            if os.path.isdir(path):
+                from overlapnet_tpu.train.checkpoint import restore_checkpoint
+                from overlapnet_tpu.train.trainer import create_train_state
+
+                state, _ = create_train_state(self.cfg, steps_per_epoch=1)
+                return restore_checkpoint(path, state).params
+        print("Pre-trained weights was not found in:", path)
+        return params
+
+    # -- feature volumes -------------------------------------------------
+
+    @property
+    def feature_volumes(self) -> np.ndarray:
+        return self._db.feature_volumes
+
+    def create_feature_volumes(self, filenames: Sequence[str]) -> np.ndarray:
+        """Leg embeddings for named scans of the infer sequence
+        (reference infer.py:240-265). Names without extension, e.g. '000000'.
+        """
+        root = self.cfg.data.data_root_folder
+        seq = self.cfg.data.infer_seqs
+        imgs = np.stack(
+            [
+                assemble_scan_image(
+                    root,
+                    seq,
+                    os.path.basename(n).replace(".bin", ""),
+                    self.cfg.channels,
+                    self.cfg.model.input_height,
+                    self.cfg.model.input_width,
+                )
+                for n in filenames
+            ]
+        )
+        n = imgs.shape[0]
+        b = _bucket(n, minimum=1)
+        if b != n:
+            imgs = np.concatenate(
+                [imgs, np.zeros((b - n,) + imgs.shape[1:], imgs.dtype)]
+            )
+        fv = self._leg_apply(self.params, imgs)
+        return np.asarray(fv)[:n]
+
+    # -- the three reference entry points --------------------------------
+
+    def _yaw_degrees(self, yaw_bins: np.ndarray) -> np.ndarray:
+        # reference: yaw = 180 - argmax (infer.py:158), generalized to W'//2.
+        return self.output_size // 2 - yaw_bins
+
+    def infer_one(self, filepath1: str, filepath2: str):
+        """Overlap and yaw for one scan pair; returns (overlap, yaw_deg)
+        with the reference's left/right convention (file2 is the left leg,
+        infer.py:140-158)."""
+        f1 = os.path.basename(filepath1).replace(".bin", "")
+        f2 = os.path.basename(filepath2).replace(".bin", "")
+        fv = self.create_feature_volumes([f2, f1])
+        db = DescriptorDB(
+            self._db._head, self.params, capacity=2, width=self.output_size
+        )
+        db.add(fv)
+        overlap, yaw_bins = db.score_pairs([0], [1])
+        return overlap[0], self._yaw_degrees(yaw_bins)
+
+    def infer_multiple(self, current_frame_id: int, reference_frame_id: Sequence[int]):
+        """Current frame versus already-seen frames (the LCD hot path,
+        reference infer.py:162-203). Computes and caches the current frame's
+        embedding; returns (overlaps, yaws) or None if no references."""
+        name = str(current_frame_id).zfill(6)
+        row = self._db.add(self.create_feature_volumes([name])[0])
+        self._frame_rows[int(current_frame_id)] = row
+
+        if len(reference_frame_id) == 0:
+            return None
+        ref_rows = np.array(
+            [self._frame_rows[int(r)] for r in reference_frame_id], np.int64
+        )
+        overlaps, yaw_bins = self._db.query(
+            self._db.feature_volumes[row], ref_rows
+        )
+        return overlaps, self._yaw_degrees(yaw_bins)
+
+    def infer_multiple_vs_multiple(
+        self,
+        file_names: Sequence[str],
+        first_idxs: Sequence[int],
+        second_idxs: Sequence[int],
+    ):
+        """Arbitrary M-vs-N pair scoring over a shared scan list
+        (reference infer.py:205-238)."""
+        if len(first_idxs) != len(second_idxs):
+            raise ValueError(
+                "first_idxs and second_idxs must have the same size"
+            )
+        names = [os.path.basename(v).replace(".bin", "") for v in file_names]
+        fv = self.create_feature_volumes(names)
+        if len(second_idxs) == 0:
+            return None
+        db = DescriptorDB(
+            self._db._head,
+            self.params,
+            capacity=max(len(names), 2),
+            width=self.output_size,
+        )
+        db.add(fv)
+        # reference pairs: left = second_idxs, right = first_idxs (infer.py:227-230)
+        overlaps, yaw_bins = db.score_pairs(
+            np.asarray(second_idxs), np.asarray(first_idxs)
+        )
+        return overlaps, self._yaw_degrees(yaw_bins)

@@ -1,0 +1,103 @@
+"""Online loop-closure detection over a scan sequence.
+
+Headless re-design of the reference's animated demo3 loop
+(reference demo/demo3_lcd.py:23-177): per frame, gate candidates by the
+pose-covariance search ellipse and inactive-map constraints, score them
+against the descriptor DB, and accept the best candidate above the overlap
+threshold. Returns structured loop-closure edges (the input to the pose-graph
+backend) instead of a matplotlib animation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from overlapnet_tpu.lcd.gating import (
+    CovarianceEllipse,
+    candidate_mask,
+    trajectory_lengths,
+)
+from overlapnet_tpu.lcd.infer import Infer
+
+
+@dataclass
+class LoopClosure:
+    """One detected loop: query frame, matched frame, overlap, yaw degrees."""
+
+    frame: int
+    match: int
+    overlap: float
+    yaw_deg: float
+
+
+@dataclass
+class OnlineLoopCloser:
+    """Streaming LCD engine with the reference demo3 thresholds
+    (demo3_lcd.py:53-55): inactive_time 100 frames, inactive_dist 50 m,
+    overlap threshold 0.3, 3-sigma search ellipse."""
+
+    infer: Infer
+    poses: np.ndarray  # (n, 4, 4) LiDAR-frame poses
+    covariances: np.ndarray | None = None  # (n, 6, 6)
+    inactive_time: int = 100
+    inactive_dist: float = 50.0
+    overlap_threshold: float = 0.3
+    nstd: float = 3.0
+    closures: list[LoopClosure] = field(default_factory=list)
+
+    def __post_init__(self):
+        self._positions = self.poses[:, :2, 3]
+        self._traj_length = trajectory_lengths(self._positions)
+        self._next_frame = 0
+
+    def step(self, idx: int) -> LoopClosure | None:
+        """Process frame ``idx`` (must be called for every frame in order so
+        the embedding cache stays index-aligned, demo3_lcd.py:88-89, 121-123).
+        Returns the accepted loop closure, if any."""
+        assert idx == self._next_frame, (
+            f"frames must be processed in order (expected {self._next_frame})"
+        )
+        self._next_frame += 1
+
+        if self.covariances is not None:
+            ellipse = CovarianceEllipse.from_covariance(
+                self.covariances[idx][:2, :2], self.nstd
+            )
+        else:
+            # No covariance stream: unbounded search space (gating by
+            # inactive-map constraints only).
+            ellipse = CovarianceEllipse(np.inf, np.inf, 0.0)
+
+        mask = candidate_mask(
+            idx,
+            self._positions,
+            self._traj_length,
+            ellipse,
+            self.inactive_time,
+            self.inactive_dist,
+        )
+        candidates = np.flatnonzero(mask)
+        result = self.infer.infer_multiple(idx, candidates.tolist())
+        if result is None:
+            return None
+        overlaps, yaws = result
+        best = int(np.argmax(overlaps))
+        if overlaps[best] > self.overlap_threshold:
+            closure = LoopClosure(
+                frame=idx,
+                match=int(candidates[best]),
+                overlap=float(overlaps[best]),
+                yaw_deg=float(np.atleast_1d(yaws)[best]),
+            )
+            self.closures.append(closure)
+            return closure
+        return None
+
+    def run(self, n_frames: int | None = None) -> list[LoopClosure]:
+        """Process all frames; returns the accepted loop closures."""
+        n = n_frames if n_frames is not None else len(self.poses)
+        for idx in range(self._next_frame, n):
+            self.step(idx)
+        return self.closures

@@ -1,0 +1,218 @@
+"""Tests for the LCD layer: descriptor DB, gating, Infer API, online loop."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from overlapnet_tpu.core.config import (
+    ChannelConfig,
+    DataConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OverlapNetConfig,
+    TrainConfig,
+)
+from overlapnet_tpu.lcd.descriptor_db import DescriptorDB, ShardedDescriptorDB
+from overlapnet_tpu.lcd.gating import (
+    CovarianceEllipse,
+    candidate_mask,
+    trajectory_lengths,
+)
+from overlapnet_tpu.models import init_params, leg_output_width, make_head_apply
+
+
+@pytest.fixture(scope="module")
+def head_setup(small_model_cfg_module):
+    cfg = small_model_cfg_module
+    params = init_params(cfg, num_channels=4, rng=0)
+    return cfg, params, make_head_apply(cfg)
+
+
+@pytest.fixture(scope="module")
+def small_model_cfg_module():
+    return ModelConfig(input_width=360, leg_output_width=90)
+
+
+def test_descriptor_db_matches_direct_head(head_setup):
+    cfg, params, head_apply = head_setup
+    w = leg_output_width(cfg)
+    rng = np.random.default_rng(0)
+    fvs = rng.normal(size=(5, w, 128)).astype(np.float32)
+    db = DescriptorDB(head_apply, params, capacity=8, width=w)
+    db.add(fvs)
+    assert len(db) == 5
+
+    idx1, idx2 = np.array([0, 2, 4]), np.array([1, 3, 0])
+    ov, yaw = db.score_pairs(idx1, idx2)
+    direct_ov, direct_logits = head_apply(
+        params, fvs[idx1], fvs[idx2]
+    )
+    np.testing.assert_allclose(ov, np.asarray(direct_ov).ravel(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(yaw, np.argmax(np.asarray(direct_logits), axis=-1))
+
+
+def test_descriptor_db_query_left_right_convention(head_setup):
+    cfg, params, head_apply = head_setup
+    w = leg_output_width(cfg)
+    rng = np.random.default_rng(1)
+    fvs = rng.normal(size=(4, w, 128)).astype(np.float32)
+    db = DescriptorDB(head_apply, params, capacity=8, width=w)
+    db.add(fvs)
+    ov, yaw = db.query(fvs[3], np.array([0, 1, 2]))
+    # candidates are the left leg, query the right (reference infer.py:186-190)
+    direct_ov, _ = head_apply(params, fvs[[0, 1, 2]], np.stack([fvs[3]] * 3))
+    np.testing.assert_allclose(ov, np.asarray(direct_ov).ravel(), rtol=1e-4, atol=1e-5)
+
+
+def test_descriptor_db_capacity_error(head_setup):
+    cfg, params, head_apply = head_setup
+    w = leg_output_width(cfg)
+    db = DescriptorDB(head_apply, params, capacity=2, width=w)
+    db.add(np.zeros((2, w, 128), np.float32))
+    with pytest.raises(ValueError, match="capacity"):
+        db.add(np.zeros((w, 128), np.float32))
+
+
+def test_sharded_descriptor_db(head_setup):
+    cfg, params, head_apply = head_setup
+    w = leg_output_width(cfg)
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    rng = np.random.default_rng(2)
+    fvs = rng.normal(size=(6, w, 128)).astype(np.float32)
+
+    sdb = ShardedDescriptorDB(head_apply, params, mesh, capacity=16, width=w)
+    sdb.add(fvs)
+    assert len(sdb) == 6
+    query = fvs[5]
+    mask = np.array([True, True, False, True, False, False])
+    ov, yaw = sdb.query_all(query, mask)
+
+    ref_db = DescriptorDB(head_apply, params, capacity=16, width=w)
+    ref_db.add(fvs)
+    ref_ov, ref_yaw = ref_db.query(query, np.array([0, 1, 3]))
+    np.testing.assert_allclose(ov[[0, 1, 3]], ref_ov, rtol=1e-4, atol=1e-5)
+    # masked and empty rows score -1
+    assert np.all(ov[[2, 4, 5]] == -1.0) and np.all(ov[6:] == -1.0)
+
+
+def test_covariance_ellipse_axes():
+    # diagonal covariance: axes aligned, width = 2*nstd*sigma_major
+    cov = np.diag([4.0, 1.0])
+    e = CovarianceEllipse.from_covariance(cov, nstd=3.0)
+    assert np.isclose(e.width, 12.0) and np.isclose(e.height, 6.0)
+    inside = e.contains(np.array([5.9, 0.0, 0.0]), np.array([0.0, 2.9, 3.1]))
+    np.testing.assert_array_equal(inside, [True, True, False])
+
+
+def test_candidate_mask_gates():
+    n = 300
+    # straight-line trajectory, 1 m per frame
+    positions = np.column_stack([np.arange(n, dtype=float), np.zeros(n)])
+    traj = trajectory_lengths(positions)
+    big = CovarianceEllipse(1e9, 1e9, 0.0)
+
+    # too-early frame: nothing
+    assert not candidate_mask(50, positions, traj, big).any()
+
+    mask = candidate_mask(299, positions, traj, big, inactive_time=100, inactive_dist=50.0)
+    idx = np.flatnonzero(mask)
+    # candidates must be older than 100 frames and >50 m away along the path
+    assert idx.max() < 199
+    assert np.all(traj[299] - traj[idx] > 50.0)
+
+    # small ellipse excludes spatially-distant frames entirely
+    small = CovarianceEllipse(2.0, 2.0, 0.0)
+    assert not candidate_mask(299, positions, traj, small).any()
+
+
+@pytest.fixture
+def infer_tree(tmp_path):
+    """Preprocessed-image tree for Infer: 3 tiny scans, depth+normal."""
+    rng = np.random.default_rng(4)
+    h, w = 64, 360
+    root = tmp_path / "data"
+    for kind, ch in [("depth", None), ("normal", 3)]:
+        os.makedirs(root / "07" / kind)
+        for i in range(3):
+            shape = (h, w) if ch is None else (h, w, ch)
+            np.save(root / "07" / kind / f"{i:06d}.npy",
+                    rng.normal(size=shape).astype(np.float32))
+    return str(root)
+
+
+@pytest.fixture
+def infer_cfg(infer_tree):
+    return OverlapNetConfig(
+        channels=ChannelConfig(),
+        model=ModelConfig(input_width=360, leg_output_width=90),
+        train=TrainConfig(batch_size=2),
+        data=DataConfig(data_root_folder=infer_tree, infer_seqs="07"),
+        experiment=ExperimentConfig(pretrained_weightsfilename=""),
+    )
+
+
+def test_infer_api(infer_cfg):
+    from overlapnet_tpu.lcd.infer import Infer
+
+    infer = Infer(infer_cfg, db_capacity=16)
+    w = leg_output_width(infer_cfg.model)
+
+    overlap, yaw = infer.infer_one("000000.bin", "000001.bin")
+    assert 0.0 <= overlap <= 1.0
+    assert -w // 2 <= int(np.atleast_1d(yaw)[0]) <= w // 2
+
+    # incremental LCD path: embedding cache stays frame-aligned
+    assert infer.infer_multiple(0, []) is None
+    out = infer.infer_multiple(1, [0])
+    assert out is not None and len(out[0]) == 1
+    out = infer.infer_multiple(2, [0, 1])
+    assert len(out[0]) == 2
+    assert len(infer.feature_volumes) == 3
+
+    # many-vs-many
+    overlaps, yaws = infer.infer_multiple_vs_multiple(
+        ["000000", "000001", "000002.bin"], [0, 1, 2], [2, 1, 1]
+    )
+    assert len(overlaps) == 3
+    # self-pair (1,1) correlates maximally at zero shift
+    assert int(np.atleast_1d(yaws)[1]) == 0
+
+    # consistency: infer_one(a, b) == many-vs-many pair (a vs b)
+    ov1, _ = infer.infer_one("000000.bin", "000002.bin")
+    ovm, _ = infer.infer_multiple_vs_multiple(
+        ["000000", "000002"], [0], [1]
+    )
+    np.testing.assert_allclose(ov1, np.atleast_1d(ovm)[0], rtol=1e-4, atol=1e-5)
+
+
+def test_online_loop_closer(infer_cfg):
+    """Synthetic square loop: frame t returns near frame 0; with relaxed
+    gating thresholds the engine must evaluate candidates in order and only
+    accept above the overlap threshold."""
+    from overlapnet_tpu.lcd.infer import Infer
+    from overlapnet_tpu.lcd.online import OnlineLoopCloser
+
+    # 3 frames cycling through the same 3 scans; forged poses: frame 2 near 0
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    poses[1, 0, 3] = 100.0
+    poses[2, 0, 3] = 1.0
+
+    infer = Infer(infer_cfg, db_capacity=16)
+    closer = OnlineLoopCloser(
+        infer,
+        poses,
+        covariances=None,
+        inactive_time=1,  # relaxed for the tiny sequence
+        inactive_dist=50.0,
+        overlap_threshold=-1.0,  # accept anything that gets scored
+    )
+    closures = closer.run()
+    # frame 2: candidates = frames older than 2 with traj gap > 50 -> frame 0
+    assert len(closures) == 1
+    assert closures[0].frame == 2 and closures[0].match == 0
+    assert len(infer.feature_volumes) == 3  # cache stayed aligned
