@@ -60,6 +60,9 @@ def time_chained(body, carry0, iters_lo=4, iters_hi=20):
 
 
 def main():
+    from overlapnet_tpu.core.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
     from overlapnet_tpu.core.config import OverlapNetConfig
     from overlapnet_tpu.models import (
         build_model,

@@ -1,0 +1,88 @@
+"""lcd: online loop-closure detection over a sequence.
+
+Headless equivalent of reference demo/demo3_lcd.py:179-223: covariance
+search-ellipse gating + descriptor-DB scoring per frame; prints accepted
+closures and writes them to ``loop_closures.npz`` (frame, match, overlap,
+yaw_deg) — the input of the pose-graph backend. Pass --plot to also save a
+trajectory figure with closure markers.
+
+Usage:
+  python -m overlapnet_tpu.cli lcd <demo.yml>   (Demo3 block)
+      [--frames N] [--out loop_closures.npz] [--plot traj.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import yaml
+
+from overlapnet_tpu.core.config import load_config
+from overlapnet_tpu.geometry import kitti
+from overlapnet_tpu.lcd.infer import Infer
+from overlapnet_tpu.lcd.online import OnlineLoopCloser
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(prog="lcd", description=__doc__)
+    ap.add_argument("config", help="demo.yml with a Demo3 block")
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--out", default="loop_closures.npz")
+    ap.add_argument("--plot", default="")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        d3 = (yaml.safe_load(f) or {}).get("Demo3", {})
+
+    net_cfg = load_config(d3["network_config"])
+    net_cfg.data.infer_seqs = d3.get("infer_seqs", net_cfg.data.infer_seqs)
+
+    T_cam_velo = kitti.load_calib(d3["calib_file"])
+    poses = kitti.poses_cam_to_velo(
+        kitti.load_poses(d3["poses_file"]), T_cam_velo
+    )
+    covs = kitti.load_covariances(d3["covariance_file"])
+
+    n = args.frames if args.frames is not None else len(poses)
+    infer = Infer(net_cfg, db_capacity=max(16, n))
+    closer = OnlineLoopCloser(infer, poses[:n], covariances=covs[:n])
+    for idx in range(n):
+        closure = closer.step(idx)
+        if closure is not None:
+            print(
+                f"frame {closure.frame:6d} -> {closure.match:6d}  "
+                f"overlap {closure.overlap:.3f}  yaw {closure.yaw_deg:+.0f} deg"
+            )
+
+    closures = closer.closures
+    np.savez(
+        args.out,
+        frame=np.array([c.frame for c in closures]),
+        match=np.array([c.match for c in closures]),
+        overlap=np.array([c.overlap for c in closures]),
+        yaw_deg=np.array([c.yaw_deg for c in closures]),
+    )
+    print(f"{len(closures)} loop closures -> {args.out}")
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        xy = poses[:n, :2, 3]
+        plt.figure(figsize=(8, 8))
+        plt.plot(xy[:, 0], xy[:, 1], "-", lw=1, label="trajectory")
+        for c in closures:
+            plt.plot(
+                [xy[c.frame, 0], xy[c.match, 0]],
+                [xy[c.frame, 1], xy[c.match, 1]],
+                "r-", lw=0.8,
+            )
+        plt.axis("equal")
+        plt.legend()
+        plt.title(f"Loop closures ({len(closures)})")
+        plt.savefig(args.plot, dpi=150)
+        print(f"plot -> {args.plot}")
+    return 0

@@ -1,0 +1,28 @@
+"""JAX runtime setup shared by all entry points.
+
+The remote-TPU compile path in some environments takes minutes per program
+and is re-paid by every fresh process; the persistent compilation cache makes
+compiles durable across processes (and harmless elsewhere).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache (idempotent)."""
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/overlapnet_tpu/jax"),
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Remote-compile backends report near-zero client-side compile times (the
+    # real compile happens lazily server-side), so cache everything.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir

@@ -115,7 +115,7 @@ def save_gt_files(
         ("validation_set", validation_set),
         ("ground_truth_overlap_yaw", ground_truth),
     ]:
-        seqs = np.asarray([[seq, seq]] * len(arr))
+        seqs = np.asarray([[seq, seq]] * len(arr), dtype=str).reshape(len(arr), 2)
         path = os.path.join(out_dir, f"{name}.npz")
         np.savez_compressed(path, overlaps=np.asarray(arr, dtype=np.float64), seq=seqs)
         paths[name] = path

@@ -79,7 +79,9 @@ def init_params(
     dummy = jnp.zeros(
         (1, cfg.input_height, cfg.input_width, num_channels), jnp.float32
     )
-    return model.init(rng, dummy, dummy)
+    # jit: one compiled program instead of hundreds of eager dispatches
+    # (matters on remote-device backends where each dispatch is a round trip).
+    return jax.jit(model.init)(rng, dummy, dummy)
 
 
 def make_leg_apply(cfg: ModelConfig) -> Callable[[Params, jax.Array], jax.Array]:

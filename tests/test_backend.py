@@ -1,0 +1,138 @@
+"""Pose-graph backend tests: synthetic loop trajectory with drift."""
+
+import numpy as np
+import pytest
+
+from overlapnet_tpu.backend import (
+    absolute_trajectory_error,
+    closures_to_edges,
+    odometry_edges,
+    optimize_pose_graph,
+)
+from overlapnet_tpu.backend.pose_graph import (
+    PoseGraph,
+    poses_se3_to_se2,
+    relative_pose,
+    wrap_angle,
+)
+
+
+def square_trajectory(side=25, step=1.0):
+    """Ground-truth square loop: 4 sides of `side` steps, 90-degree turns."""
+    poses = [np.zeros(3)]
+    for leg in range(4):
+        theta = leg * np.pi / 2
+        for _ in range(side):
+            x, y, _ = poses[-1]
+            poses.append(
+                np.array([x + step * np.cos(theta), y + step * np.sin(theta), theta])
+            )
+    return np.array(poses)
+
+
+def drifted_odometry(gt, yaw_drift=0.002, seed=0):
+    """Integrate gt relative motions with a small constant yaw bias (the
+    classic accumulating drift loop closure must fix)."""
+    rng = np.random.default_rng(seed)
+    est = [gt[0].copy()]
+    for k in range(1, len(gt)):
+        rel = np.asarray(relative_pose(gt[k - 1], gt[k]))
+        rel = rel + np.array([0.0, 0.0, yaw_drift + rng.normal(0, 1e-4)])
+        x, y, th = est[-1]
+        est.append(
+            np.array(
+                [
+                    x + rel[0] * np.cos(th) - rel[1] * np.sin(th),
+                    y + rel[0] * np.sin(th) + rel[1] * np.cos(th),
+                    wrap_angle(th + rel[2]),
+                ]
+            )
+        )
+    return np.array(est)
+
+
+def test_relative_pose_roundtrip():
+    a = np.array([1.0, 2.0, 0.3])
+    b = np.array([2.5, 1.0, -0.8])
+    rel = np.asarray(relative_pose(a, b))
+    # compose a with rel -> b
+    x = a[0] + rel[0] * np.cos(a[2]) - rel[1] * np.sin(a[2])
+    y = a[1] + rel[0] * np.sin(a[2]) + rel[1] * np.cos(a[2])
+    th = wrap_angle(a[2] + rel[2])
+    np.testing.assert_allclose([x, y, th], b, atol=1e-6)
+
+
+def test_poses_se3_to_se2():
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    poses[1, 0, 3], poses[1, 1, 3] = 5.0, -2.0
+    c, s = np.cos(0.7), np.sin(0.7)
+    poses[2, :2, :2] = [[c, -s], [s, c]]
+    se2 = poses_se3_to_se2(poses)
+    np.testing.assert_allclose(se2[1], [5.0, -2.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(se2[2, 2], 0.7, atol=1e-9)
+
+
+def test_odometry_only_optimization_is_stable():
+    """With only odometry edges and matching initialization, GN must not
+    move the solution (residuals already zero)."""
+    gt = square_trajectory(side=10)
+    graph = odometry_edges(gt)
+    opt, chi2 = optimize_pose_graph(graph, gt, iterations=3)
+    np.testing.assert_allclose(opt[:, :2], gt[:, :2], atol=1e-4)
+    assert chi2[-1] < 1e-6
+
+
+def test_loop_closure_fixes_drift():
+    """Drifted odometry + a few refined (relative-pose) closures around the
+    loop junction: optimization must cut ATE by a large factor."""
+    from overlapnet_tpu.backend import relative_pose_edges
+
+    gt = square_trajectory(side=25)
+    est = drifted_odometry(gt, yaw_drift=0.004)
+    ate_before = absolute_trajectory_error(est, gt)["ate_rmse"]
+    assert ate_before > 1.0  # drift is meaningful
+
+    graph = odometry_edges(est)
+    n = len(gt)
+    pairs = np.array([[0, n - 1], [0, n - 2], [1, n - 1], [2, n - 1]])
+    z = np.stack(
+        [np.asarray(relative_pose(gt[a], gt[b])) for a, b in pairs]
+    )
+    loops = PoseGraph.merged(graph, relative_pose_edges(pairs, z, n))
+    opt, chi2 = optimize_pose_graph(loops, est, iterations=30, cg_iters=300)
+    ate_after = absolute_trajectory_error(opt, gt)["ate_rmse"]
+    assert ate_after < ate_before / 5, (ate_before, ate_after)
+    assert chi2[-1] < chi2[0]
+
+
+def test_yaw_only_closure_pins_endpoint():
+    """OverlapNet-style closures (yaw + same-place, no translation estimate)
+    must at least close the loop endpoint and keep chi2 decreasing."""
+    gt = square_trajectory(side=25)
+    est = drifted_odometry(gt, yaw_drift=0.004)
+    gap_before = np.linalg.norm(est[-1, :2] - est[0, :2])
+
+    class C:  # minimal LoopClosure stand-in
+        def __init__(self, frame, match, yaw_deg):
+            self.frame, self.match, self.yaw_deg = frame, match, yaw_deg
+            self.overlap = 1.0
+
+    loops = PoseGraph.merged(
+        odometry_edges(est),
+        closures_to_edges([C(len(gt) - 1, 0, 0.0)], len(gt), xy_information=10.0),
+    )
+    opt, chi2 = optimize_pose_graph(loops, est, iterations=20, cg_iters=200)
+    gap_after = np.linalg.norm(opt[-1, :2] - opt[0, :2])
+    assert gap_after < gap_before / 3, (gap_before, gap_after)
+    assert chi2[-1] < chi2[0]
+
+
+def test_ate_alignment_invariance():
+    gt = square_trajectory(side=8)[:, :2]
+    theta = 0.9
+    rot = np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    moved = gt @ rot.T + np.array([10.0, -3.0])
+    m = absolute_trajectory_error(moved, gt)
+    assert m["ate_rmse"] < 1e-9  # rigid motion aligned away
