@@ -114,9 +114,24 @@ class PairImageDataset:
         self.pairs = pairs
         self.width = width
         self.rotate_data = rotate_data
+        self._packs = packs or {}
         self._cache = _ScanCache(image_root, channels, height, width, packs)
         self._rng = random.Random(seed)
         self._shifts = self._draw_shifts()
+        # Precompute pack row indices per pair side (-1 = not packed); packed
+        # sides batch-gather through the native library (data/native.py).
+        def rows(dirs, names):
+            out = np.full(len(names), -1, np.int64)
+            for i, (d, n) in enumerate(zip(dirs, names)):
+                pack = self._packs.get(d)
+                if pack is not None and n in pack._index:
+                    out[i] = pack._index[n]
+            return out
+
+        self._rows1 = rows(pairs.dir1, pairs.imgf1)
+        self._rows2 = (
+            rows(pairs.dir2, pairs.imgf2) if pairs.imgf2 else np.zeros(0, np.int64)
+        )
 
     def _draw_shifts(self) -> np.ndarray:
         # randint(0, width) inclusive, like the reference (:51-53).
@@ -163,20 +178,46 @@ class PairImageDataset:
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         stop = threading.Event()
 
+        def gather_side(idx, dirs, names, pack_rows, shifts):
+            """Assemble one side of the batch; packed scans go through the
+            native multi-threaded gather (fused roll), the rest through the
+            scan cache."""
+            from overlapnet_tpu.data.native import gather_batch
+
+            out = None
+            packed = pack_rows[idx] >= 0
+            by_seq: dict[str, list[int]] = {}
+            for k, i in enumerate(idx):
+                if packed[k]:
+                    by_seq.setdefault(dirs[i], []).append(k)
+            for seq, ks in by_seq.items():
+                rows = pack_rows[idx[ks]]
+                sh = shifts[idx[ks]] if shifts is not None else None
+                got = gather_batch(self._packs[seq].data, rows, sh)
+                if out is None:
+                    out = np.empty((len(idx),) + got.shape[1:], np.float32)
+                out[ks] = got
+            for k, i in enumerate(idx):
+                if not packed[k]:
+                    img = self._cache.get(dirs[i], names[i])
+                    if shifts is not None:
+                        img = np.roll(img, int(shifts[i]), axis=1)
+                    if out is None:
+                        out = np.empty((len(idx),) + img.shape, np.float32)
+                    out[k] = img
+            return out
+
         def make_batch(start: int) -> dict:
             idx = order[start : start + batch_size]
-            xs1, xs2, ovs, ors = [], [], [], []
-            for i in idx:
-                x1, x2, ov, orient = self._example(int(i))
-                xs1.append(x1)
-                xs2.append(x2)
-                ovs.append(ov)
-                ors.append(orient)
+            p = self.pairs
+            shifts = self._shifts if self.rotate_data > 0 else None
+            x1 = gather_side(idx, p.dir1, p.imgf1, self._rows1, None)
+            x2 = gather_side(idx, p.dir2, p.imgf2, self._rows2, shifts)
             return {
-                "x1": np.stack(xs1),
-                "x2": np.stack(xs2),
-                "overlap": np.asarray(ovs, np.float32),
-                "orientation": np.asarray(ors, np.int32),
+                "x1": x1,
+                "x2": x2,
+                "overlap": np.asarray(p.overlap[idx], np.float32),
+                "orientation": np.asarray(p.orientation[idx], np.int32),
             }
 
         def worker():

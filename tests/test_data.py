@@ -180,6 +180,16 @@ def test_sequence_pack_matches_per_image(image_tree, tmp_path):
     np.testing.assert_allclose(bf["x1"], bp["x1"])
     np.testing.assert_allclose(bf["x2"], bp["x2"])
 
+    # with rotation aug: the native fused-roll gather must equal the
+    # per-image np.roll path (same seed -> same shifts)
+    ds_file_r = PairImageDataset(root, pairs, ch, height=h, width=w, rotate_data=1)
+    ds_pack_r = PairImageDataset(
+        root, pairs, ch, height=h, width=w, rotate_data=1, packs=packs
+    )
+    bfr = next(ds_file_r.batches(6))
+    bpr = next(ds_pack_r.batches(6))
+    np.testing.assert_allclose(bfr["x2"], bpr["x2"])
+
 
 def test_unique_scans_dedup():
     pairs = _pairs(20, n_scans=4)

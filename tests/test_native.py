@@ -1,0 +1,77 @@
+"""Tests for the native C++ data-path library (built on demand with g++)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from overlapnet_tpu.data import native
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    try:
+        native.build()
+    except Exception as e:  # toolchain missing: fall back paths still tested
+        pytest.skip(f"native build unavailable: {e}")
+    assert native.available()
+
+
+def test_gather_batch_matches_numpy():
+    rng = np.random.default_rng(0)
+    src = rng.normal(size=(6, 8, 12, 4)).astype(np.float32)
+    idx = np.array([3, 0, 5, 3])
+    shifts = np.array([0, 5, -3, 25])  # includes negative and > W
+    out = native.gather_batch(src, idx, shifts)
+    for b in range(len(idx)):
+        np.testing.assert_array_equal(
+            out[b], np.roll(src[idx[b]], int(shifts[b]), axis=1)
+        )
+
+
+def test_gather_batch_no_shift():
+    rng = np.random.default_rng(1)
+    src = rng.normal(size=(4, 8, 12, 4)).astype(np.float32)
+    idx = np.array([1, 2])
+    out = native.gather_batch(src, idx, None)
+    np.testing.assert_array_equal(out, src[idx])
+
+
+def test_gather_batch_bad_index():
+    src = np.zeros((2, 4, 4, 1), np.float32)
+    with pytest.raises(IndexError):
+        native.gather_batch(src, np.array([5]), None)
+
+
+def test_read_scans_matches_numpy(tmp_path):
+    rng = np.random.default_rng(2)
+    paths = []
+    arrays = []
+    for i, n_pts in enumerate([10, 25, 0]):
+        arr = rng.normal(size=(n_pts, 4)).astype(np.float32)
+        p = tmp_path / f"{i:06d}.bin"
+        arr.tofile(p)
+        paths.append(str(p))
+        arrays.append(arr)
+    out = native.read_scans(paths, max_points=20)
+    assert out.shape == (3, 20, 4)
+    np.testing.assert_array_equal(out[0, :10], arrays[0])
+    assert np.all(out[0, 10:] == 0)
+    np.testing.assert_array_equal(out[1], arrays[1][:20])  # truncated
+    assert np.all(out[2] == 0)
+
+
+def test_read_scans_missing_file(tmp_path):
+    with pytest.raises(IOError):
+        native.read_scans([str(tmp_path / "nope.bin")], max_points=8)
+
+
+def test_read_scans_real_scan():
+    scan = "/root/reference/data/scans/000000.bin"
+    if not os.path.exists(scan):
+        pytest.skip("bundled scan not available")
+    from overlapnet_tpu.geometry.kitti import load_scan
+    from overlapnet_tpu.geometry.projection import pad_points
+
+    out = native.read_scans([scan], max_points=140_000)[0]
+    np.testing.assert_array_equal(out, pad_points(load_scan(scan), 140_000))
