@@ -128,6 +128,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--weights", default="")
     ap.add_argument("--pack-dir", default="")
     ap.add_argument("--max-pairs", type=int, default=None)
+    ap.add_argument("--plot", action="store_true",
+                    help="save overlap/yaw error histograms (testing.py:295-336)")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -152,4 +154,32 @@ def main(argv: list[str]) -> int:
     out = os.path.join(exp_dir, "validation_results.npz")
     np.savez(out, **results)
     logger.info("results -> %s", out)
+
+    if args.plot and len(results["pred_overlap"]):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        diffs = np.abs(results["pred_overlap"] - results["true_overlap"])
+        plt.figure()
+        plt.hist(diffs, bins=10)
+        plt.xlabel("error in overlap percentage")
+        plt.ylabel("number of pairs")
+        p1 = os.path.join(exp_dir, "overlap_error_histogram.png")
+        plt.savefig(p1, dpi=150)
+
+        from overlapnet_tpu.models import leg_output_width
+
+        w = leg_output_width(cfg.model)
+        mask = results["true_overlap"] > cfg.train.min_overlap_for_angle
+        d = np.abs(results["pred_orientation"] - results["true_orientation"])[mask]
+        circ = np.minimum(d, w - d)
+        if len(circ):
+            plt.figure()
+            plt.hist(circ, bins=min(90, w))
+            plt.xlabel("circular yaw error [bins]")
+            plt.ylabel("number of pairs")
+            plt.savefig(os.path.join(exp_dir, "yaw_error_histogram.png"), dpi=150)
+        logger.info("histograms -> %s", exp_dir)
     return 0

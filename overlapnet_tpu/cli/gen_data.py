@@ -31,6 +31,7 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--dst-folder")
     ap.add_argument("--semantic-folder", default="")
     ap.add_argument("--normalize-depth", action="store_true")
+    ap.add_argument("--plot", default="", help="save a demo1-style figure of the first scan's images")
     args = ap.parse_args(argv)
 
     scan_folder, dst_folder, semantic_folder = (
@@ -56,4 +57,27 @@ def main(argv: list[str]) -> int:
     if semantic_folder and os.path.isdir(semantic_folder):
         semantic = gen_semantic_data(semantic_folder, scan_folder, dst_folder)
         print(f"semantic: {len(semantic)} images")
+
+    if args.plot:
+        # Row-per-channel figure of the first scan (reference
+        # demo1_gen_data.py:18-47 show_images).
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        rows = [
+            ("range image", np.load(depth[0])),
+            ("normal image", (np.load(normal[0]) + 1.0) / 2.0),
+            ("intensity image", np.load(intensity[0])),
+        ]
+        fig, axes = plt.subplots(len(rows), 1, figsize=(10, 1.6 * len(rows)))
+        for ax, (title, img) in zip(np.atleast_1d(axes), rows):
+            ax.imshow(np.clip(img, 0, None), aspect="auto")
+            ax.set_title(title, fontsize=8)
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=150)
+        print(f"plot -> {args.plot}")
     return 0

@@ -35,6 +35,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--frame-idx", type=int, default=0,
                     help="query frame (reference demo4 uses frame 0)")
     ap.add_argument("--leg-output-width", type=int, default=360)
+    ap.add_argument("--plot", default="",
+                    help="save a trajectory plot colored by overlap (demo4 vis_gt)")
     args = ap.parse_args(argv)
 
     scan_folder, poses_file = args.scan_folder, args.poses_file
@@ -67,4 +69,22 @@ def main(argv: list[str]) -> int:
     paths = save_gt_files(out_dir, args.seq, gt, train, val)
     for name, p in paths.items():
         print(f"wrote {name}: {p}")
+
+    if args.plot:
+        # Trajectory scatter colored by overlap vs the query frame
+        # (reference demo4_gen_gt_files.py:18-39 vis_gt).
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        xy = poses[:, :2, 3]
+        plt.figure(figsize=(7, 7))
+        sc = plt.scatter(xy[:, 0], xy[:, 1], c=gt[:, 2], s=6, cmap="viridis")
+        plt.colorbar(sc, label=f"overlap with frame {args.frame_idx}")
+        plt.axis("equal")
+        plt.xlabel("X [m]")
+        plt.ylabel("Y [m]")
+        plt.savefig(args.plot, dpi=150)
+        print(f"plot -> {args.plot}")
     return 0

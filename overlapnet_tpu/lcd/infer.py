@@ -71,6 +71,11 @@ class Infer:
                 from overlapnet_tpu.train.checkpoint import load_params_npz
 
                 return load_params_npz(path, params)
+            if os.path.isfile(path) and path.endswith((".weight", ".h5", ".hdf5")):
+                # the reference's Keras layer-name checkpoint (model_geo.weight)
+                from overlapnet_tpu.train.import_keras import import_keras_weights
+
+                return import_keras_weights(path, params)
             if os.path.isdir(path):
                 from overlapnet_tpu.train.checkpoint import restore_checkpoint
                 from overlapnet_tpu.train.trainer import create_train_state

@@ -154,3 +154,51 @@ def test_frozen_legs_do_not_update():
     head_after = np.asarray(state.params["params"]["overlap_head"]["c_conv2"]["kernel"])
     np.testing.assert_array_equal(before, after)
     assert not np.array_equal(head_before, head_after)
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    """orbax checkpoint: state survives save -> restore (params, opt_state,
+    step) — the restart-safety the reference lacks (training.py:346-349)."""
+    from overlapnet_tpu.train.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from overlapnet_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = small_cfg()
+    state, tx = create_train_state(cfg, steps_per_epoch=2, rng=0)
+    step_fn = make_train_step(cfg, tx)
+    state, _ = step_fn(state, make_batch(cfg))
+    state, _ = step_fn(state, make_batch(cfg, 1))
+
+    ckpt = str(tmp_path / "ckpt")
+    saved_step = save_checkpoint(ckpt, state)
+    assert saved_step == 2
+    assert latest_step(ckpt) == 2
+
+    fresh, _ = create_train_state(cfg, steps_per_epoch=2, rng=123)
+    restored = restore_checkpoint(ckpt, fresh)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # training continues identically from the restored state
+    b3 = make_batch(cfg, 2)
+    s1, m1 = step_fn(state, b3)
+    s2, m2 = step_fn(restored, b3)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    from overlapnet_tpu.models import init_params
+    from overlapnet_tpu.train.checkpoint import load_params_npz, save_params_npz
+
+    cfg = small_cfg()
+    params = init_params(cfg.model, 4, rng=0)
+    path = str(tmp_path / "params.npz")
+    save_params_npz(path, params)
+    other = init_params(cfg.model, 4, rng=9)
+    loaded = load_params_npz(path, other)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
