@@ -48,6 +48,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--pack-dir", default="")
     ap.add_argument("--single-device", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--profile-dir",
+        default="",
+        help="capture a jax.profiler device trace of epoch 0 into this dir",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -116,9 +121,12 @@ def main(argv: list[str]) -> int:
         ):
             yield shard_batch(mesh, batch) if mesh is not None else batch
 
+    from overlapnet_tpu.core.profiling import trace
+
     start_epoch = int(trainer.state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.train.no_epochs):
-        metrics = trainer.run_epoch(device_batches(epoch))
+        with trace(args.profile_dir if epoch == start_epoch else None):
+            metrics = trainer.run_epoch(device_batches(epoch))
         logger.info("epoch %d: loss %.5f", epoch, metrics.get("epoch_loss", float("nan")))
         step = int(trainer.state.step)
         writer.write(step, {**metrics, "epoch": epoch}, phase="train")

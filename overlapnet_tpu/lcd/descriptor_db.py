@@ -75,6 +75,23 @@ class DescriptorDB:
         self._n += k
         return first
 
+    def save(self, path: str) -> None:
+        """Persist the live embeddings to ``path`` (.npz). The serving-side
+        checkpoint: a crashed LCD session resumes by re-loading this instead
+        of re-embedding every historical scan."""
+        np.savez_compressed(path, feature_volumes=self._fv[: self._n])
+
+    def restore(self, path: str) -> int:
+        """Load embeddings saved by :meth:`save`; returns the row count."""
+        fv = np.load(path)["feature_volumes"]
+        if fv.shape[0] > self._fv.shape[0]:
+            raise ValueError(
+                f"checkpoint has {fv.shape[0]} rows > capacity {self._fv.shape[0]}"
+            )
+        self._fv[: fv.shape[0]] = fv
+        self._n = int(fv.shape[0])
+        return self._n
+
     def _scorer(self, bucket: int) -> Callable:
         if bucket not in self._jit_cache:
 
@@ -195,6 +212,23 @@ class ShardedDescriptorDB:
         first = self._n
         self._n += fv.shape[0]
         return first
+
+    def save(self, path: str) -> None:
+        """Persist live embeddings (gathered to host) to ``path`` (.npz)."""
+        fv = np.asarray(self._fv)[: self._n]
+        np.savez_compressed(path, feature_volumes=fv)
+
+    def restore(self, path: str) -> int:
+        """Load embeddings saved by :meth:`save` (re-sharded on insert)."""
+        fv = np.load(path)["feature_volumes"]
+        if fv.shape[0] > self._fv.shape[0]:
+            raise ValueError(
+                f"checkpoint has {fv.shape[0]} rows > capacity {self._fv.shape[0]}"
+            )
+        self._n = 0
+        if fv.shape[0]:
+            self.add(fv)
+        return self._n
 
     def query_all(
         self, query_fv: np.ndarray, candidate_mask: np.ndarray | None = None

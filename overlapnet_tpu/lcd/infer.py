@@ -157,6 +157,33 @@ class Infer:
         )
         return overlaps, self._yaw_degrees(yaw_bins)
 
+    # -- serving-session checkpoint ---------------------------------------
+
+    def save_cache(self, path: str) -> None:
+        """Persist the embedding cache + frame-id mapping (.npz). Together
+        with :meth:`OnlineLoopCloser.save_checkpoint` this is the serving-side
+        fault-tolerance story: resume after a crash without re-embedding the
+        whole map (no reference counterpart — SURVEY.md §5)."""
+        ids = np.array(sorted(self._frame_rows), np.int64)
+        rows = np.array([self._frame_rows[int(i)] for i in ids], np.int64)
+        np.savez_compressed(
+            path,
+            feature_volumes=self._db.feature_volumes,
+            frame_ids=ids,
+            frame_rows=rows,
+        )
+
+    def restore_cache(self, path: str) -> int:
+        """Load a cache saved by :meth:`save_cache`; returns #embeddings."""
+        data = np.load(path)
+        fv = data["feature_volumes"]
+        self._db._fv[: fv.shape[0]] = fv
+        self._db._n = int(fv.shape[0])
+        self._frame_rows = {
+            int(i): int(r) for i, r in zip(data["frame_ids"], data["frame_rows"])
+        }
+        return int(fv.shape[0])
+
     def infer_multiple_vs_multiple(
         self,
         file_names: Sequence[str],

@@ -101,3 +101,34 @@ class OnlineLoopCloser:
         for idx in range(self._next_frame, n):
             self.step(idx)
         return self.closures
+
+    # -- fault tolerance ---------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the full session state: frame cursor, accepted closures,
+        and the embedding cache (via ``Infer.save_cache``). A crashed or
+        preempted LCD session resumes exactly where it stopped without
+        re-embedding historical scans (no reference counterpart)."""
+        closures = np.array(
+            [[c.frame, c.match, c.overlap, c.yaw_deg] for c in self.closures],
+            np.float64,
+        ).reshape(-1, 4)
+        self.infer.save_cache(path)
+        # np.savez can't append; write session metadata alongside the cache.
+        with np.load(path) as data:
+            arrays = dict(data)
+        arrays["next_frame"] = np.int64(self._next_frame)
+        arrays["closures"] = closures
+        np.savez_compressed(path, **arrays)
+
+    def resume(self, path: str) -> int:
+        """Restore state saved by :meth:`save_checkpoint`; returns the next
+        frame index to process (pass frames >= this to :meth:`step`)."""
+        self.infer.restore_cache(path)
+        with np.load(path) as data:
+            self._next_frame = int(data["next_frame"])
+            self.closures = [
+                LoopClosure(int(f), int(m), float(o), float(y))
+                for f, m, o, y in data["closures"]
+            ]
+        return self._next_frame

@@ -164,16 +164,27 @@ class Trainer:
         self.eval_step = make_eval_step(self.cfg)
 
     def run_epoch(self, batches) -> dict:
+        from overlapnet_tpu.core.profiling import StepTimer
+
         last_metrics = {}
         total = 0.0
         count = 0
+        timer = StepTimer()
         for batch in batches:
+            b = int(jax.tree.leaves(batch)[0].shape[0])
+            timer.start()
             self.state, metrics = self.train_step(self.state, batch)
+            total += float(metrics["loss"])  # fetch syncs the step
+            timer.stop(items=b)
             last_metrics = metrics
-            total += float(metrics["loss"])
             count += 1
         if count:
-            last_metrics = {**last_metrics, "epoch_loss": total / count}
+            last_metrics = {
+                **last_metrics,
+                "epoch_loss": total / count,
+                "train_pairs_per_sec": timer.items_per_sec,
+                "sec_per_step": timer.sec_per_step,
+            }
         return {k: float(v) for k, v in last_metrics.items()}
 
     def evaluate(self, batches, orientations=None, overlaps=None) -> dict:

@@ -100,6 +100,49 @@ def test_sharded_descriptor_db(head_setup):
     assert np.all(ov[[2, 4, 5]] == -1.0) and np.all(ov[6:] == -1.0)
 
 
+def test_descriptor_db_save_restore(head_setup, tmp_path):
+    cfg, params, head_apply = head_setup
+    w = leg_output_width(cfg)
+    rng = np.random.default_rng(3)
+    fvs = rng.normal(size=(5, w, 128)).astype(np.float32)
+    db = DescriptorDB(head_apply, params, capacity=8, width=w)
+    db.add(fvs)
+    path = str(tmp_path / "db.npz")
+    db.save(path)
+
+    db2 = DescriptorDB(head_apply, params, capacity=8, width=w)
+    assert db2.restore(path) == 5
+    np.testing.assert_array_equal(db2.feature_volumes, fvs)
+    ov1, _ = db.query(fvs[4], np.array([0, 1, 2]))
+    ov2, _ = db2.query(fvs[4], np.array([0, 1, 2]))
+    np.testing.assert_allclose(ov1, ov2, rtol=1e-5)
+
+    # capacity guard
+    tiny = DescriptorDB(head_apply, params, capacity=2, width=w)
+    with pytest.raises(ValueError, match="capacity"):
+        tiny.restore(path)
+
+
+def test_sharded_descriptor_db_save_restore(head_setup, tmp_path):
+    cfg, params, head_apply = head_setup
+    w = leg_output_width(cfg)
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    rng = np.random.default_rng(5)
+    fvs = rng.normal(size=(6, w, 128)).astype(np.float32)
+    sdb = ShardedDescriptorDB(head_apply, params, mesh, capacity=16, width=w)
+    sdb.add(fvs)
+    path = str(tmp_path / "sdb.npz")
+    sdb.save(path)
+
+    sdb2 = ShardedDescriptorDB(head_apply, params, mesh, capacity=16, width=w)
+    assert sdb2.restore(path) == 6
+    ov1, _ = sdb.query_all(fvs[0])
+    ov2, _ = sdb2.query_all(fvs[0])
+    np.testing.assert_allclose(ov1, ov2, rtol=1e-5)
+
+
 def test_covariance_ellipse_axes():
     # diagonal covariance: axes aligned, width = 2*nstd*sigma_major
     cov = np.diag([4.0, 1.0])
@@ -216,3 +259,47 @@ def test_online_loop_closer(infer_cfg):
     assert len(closures) == 1
     assert closures[0].frame == 2 and closures[0].match == 0
     assert len(infer.feature_volumes) == 3  # cache stayed aligned
+
+
+def test_online_loop_closer_crash_resume(infer_cfg, tmp_path):
+    """Fault injection: checkpoint mid-sequence, 'crash' (fresh engine),
+    resume, and finish — results must match the uninterrupted run exactly
+    and no scan may be re-embedded."""
+    from overlapnet_tpu.lcd.infer import Infer
+    from overlapnet_tpu.lcd.online import OnlineLoopCloser
+
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    poses[1, 0, 3] = 100.0
+    poses[2, 0, 3] = 1.0
+    kwargs = dict(
+        covariances=None, inactive_time=1, inactive_dist=50.0,
+        overlap_threshold=-1.0,
+    )
+
+    # uninterrupted reference run
+    full = OnlineLoopCloser(Infer(infer_cfg, db_capacity=16), poses, **kwargs)
+    expected = full.run()
+
+    # interrupted run: process 2 frames, checkpoint, crash
+    closer = OnlineLoopCloser(Infer(infer_cfg, db_capacity=16), poses, **kwargs)
+    closer.step(0)
+    closer.step(1)
+    ckpt = str(tmp_path / "lcd_session.npz")
+    closer.save_checkpoint(ckpt)
+    del closer
+
+    # resume in a brand-new engine and finish
+    resumed = OnlineLoopCloser(Infer(infer_cfg, db_capacity=16), poses, **kwargs)
+    assert resumed.resume(ckpt) == 2
+    assert len(resumed.infer.feature_volumes) == 2  # cache restored, not rebuilt
+    closures = resumed.run()
+
+    assert [(c.frame, c.match) for c in closures] == [
+        (c.frame, c.match) for c in expected
+    ]
+    np.testing.assert_allclose(
+        [c.overlap for c in closures], [c.overlap for c in expected], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        resumed.infer.feature_volumes, full.infer.feature_volumes
+    )
