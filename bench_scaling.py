@@ -1,0 +1,172 @@
+"""Scaling-efficiency harness: throughput vs device count.
+
+BASELINE.md sets ">= 80% scaling efficiency at 2+ hosts". This harness
+measures the two scaling axes on an n-device mesh for every feasible n
+(1, 2, 4, ... up to the visible device count):
+
+- DP training: pjit train step, batch sharded over the 'data' axis
+  (overlapnet_tpu.train.trainer.make_train_step);
+- descriptor-map serving: ShardedDescriptorDB query_all, DB rows sharded
+  over the mesh (SURVEY.md §5 descriptor-map sharding).
+
+Prints one JSON line per device count with throughput and efficiency
+relative to n=1 (efficiency_n = throughput_n / (n * throughput_1)).
+
+On this environment only one real TPU chip is visible, so run on the
+virtual CPU mesh to validate the *mechanism*:
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 python bench_scaling.py --cpu
+(virtual CPU devices share physical cores — efficiency numbers are only
+meaningful on real multi-chip hardware; the harness is hardware-agnostic.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the virtual CPU device pool")
+    ap.add_argument("--batch-per-device", type=int, default=16)
+    ap.add_argument("--db-rows-per-device", type=int, default=256)
+    ap.add_argument("--width", type=int, default=360)
+    ap.add_argument("--iters", type=int, nargs=2, default=(4, 20),
+                    metavar=("LO", "HI"),
+                    help="chained-loop lengths for the slope timing")
+    args = ap.parse_args()
+
+    import os
+
+    if args.cpu and "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""
+    ):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from overlapnet_tpu.core.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax.numpy as jnp
+
+    from bench import time_chained
+    from overlapnet_tpu.core.config import OverlapNetConfig
+    from overlapnet_tpu.models import leg_output_width, make_head_apply
+    from overlapnet_tpu.parallel.mesh import make_mesh
+    from overlapnet_tpu.train.losses import combined_loss, orientation_target
+    from overlapnet_tpu.train.trainer import create_train_state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    devices = jax.devices()
+    counts = [n for n in [1, 2, 4, 8, 16] if n <= len(devices)]
+    print(f"# platform={devices[0].platform} devices={len(devices)}",
+          file=sys.stderr)
+
+    cfg = OverlapNetConfig()
+    cfg.model.input_width = args.width
+    cfg.model.leg_output_width = {900: 360}.get(args.width, args.width // 4)
+    w = leg_output_width(cfg.model)
+    head = make_head_apply(cfg.model)
+    state, _ = create_train_state(cfg, steps_per_epoch=4, rng=0)
+    params = state.params
+    rng = np.random.default_rng(0)
+
+    base_train = base_query = None
+    for n in counts:
+        print(f"# measuring n={n}", file=sys.stderr, flush=True)
+        mesh = make_mesh(n, devices=devices[:n])
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        params_d = jax.device_put(params, repl)
+
+        # --- DP train-step throughput (per-device batch held fixed) ------
+        b = args.batch_per_device * n
+        batch = {
+            "x1": jax.device_put(
+                jnp.asarray(rng.normal(size=(b, 64, args.width, 4)),
+                            jnp.float32), data),
+            "x2": jax.device_put(
+                jnp.asarray(rng.normal(size=(b, 64, args.width, 4)),
+                            jnp.float32), data),
+            "overlap": jax.device_put(
+                jnp.asarray(rng.uniform(size=(b,)), jnp.float32), data),
+            "orientation": jax.device_put(
+                jnp.asarray(rng.integers(0, w, size=(b,)), jnp.int32), data),
+        }
+
+        from overlapnet_tpu.models import build_model
+
+        model = build_model(cfg.model)
+
+        def loss_only(p, bt):
+            ov, logits = model.apply(p, bt["x1"], bt["x2"])
+            tgt = orientation_target(bt["orientation"], bt["overlap"], w)
+            loss, _ = combined_loss(ov, logits, bt["overlap"], tgt,
+                                    pos_weight=float(w))
+            return loss
+
+        grad_fn = jax.grad(loss_only)
+
+        def train_body(carry):
+            p, bt = carry
+            g = grad_fn(p, bt)
+            p2 = jax.tree.map(lambda a, b_: a - 1e-6 * b_, p, g)
+            return (p2, bt)
+
+        t_train = time_chained(train_body, (params_d, batch),
+                               iters_lo=args.iters[0], iters_hi=args.iters[1])
+        train_tput = b / t_train
+
+        # --- sharded descriptor-DB query throughput ----------------------
+        rows = args.db_rows_per_device * n
+        fv = jax.device_put(
+            jnp.asarray(rng.normal(size=(rows, w, 128)), jnp.float32), data
+        )
+        q = jax.device_put(
+            jnp.asarray(rng.normal(size=(w, 128)), jnp.float32), repl
+        )
+
+        def query_body(carry):
+            fv_c, q_c, acc = carry
+            fb = jnp.broadcast_to(q_c[None], fv_c.shape)
+            ov, logits = head(params_d, fv_c, fb)
+            acc = acc + jnp.sum(ov) + jnp.sum(jnp.argmax(logits, -1))
+            # data-dependent chain: perturb the query by the result
+            q2 = q_c * (1.0 + 1e-12 * jnp.sum(ov))
+            return (fv_c, q2, acc)
+
+        t_query = time_chained(
+            query_body, (fv, q, jnp.zeros((), jnp.float32)),
+            iters_lo=args.iters[0], iters_hi=args.iters[1],
+        )
+        query_tput = rows / t_query
+
+        if n == counts[0]:
+            base_train = train_tput / n
+            base_query = query_tput / n
+        print(json.dumps({
+            "metric": "scaling",
+            "devices": n,
+            "train_pairs_per_sec": round(train_tput, 1),
+            "db_pairs_per_sec": round(query_tput, 1),
+            "train_efficiency": round(train_tput / (n * base_train), 3),
+            "db_efficiency": round(query_tput / (n * base_query), 3),
+            "unit": "pairs/s",
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

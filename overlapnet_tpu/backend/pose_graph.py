@@ -114,8 +114,14 @@ def closures_to_edges(
     j = np.array([c.frame for c in closures], np.int32)
     z = np.zeros((len(i), 3))
     z[:, 2] = [np.radians(c.yaw_deg) for c in closures]
-    info = np.diag([xy_information, xy_information, yaw_information])
-    return PoseGraph(n_poses, i, j, z, np.tile(info, (len(i), 1, 1)))
+    # yaw information scaled by the detector's yaw confidence (softmax peak
+    # mass): flat orientation logits contribute almost no heading constraint.
+    confs = np.array([getattr(c, "confidence", 1.0) for c in closures])
+    infos = np.tile(
+        np.diag([xy_information, xy_information, 0.0]), (len(i), 1, 1)
+    )
+    infos[:, 2, 2] = yaw_information * confs
+    return PoseGraph(n_poses, i, j, z, infos)
 
 
 def relative_pose_edges(
@@ -158,7 +164,13 @@ def _edge_residual_jac(xi, xj, z):
     return r, ji, jj
 
 
-@functools.partial(jax.jit, static_argnames=("n_poses", "iterations", "cg_iters"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_poses", "iterations", "cg_iters", "robust_delta", "robust_kernel",
+        "robust_anneal_start",
+    ),
+)
 def _gauss_newton(
     poses0: jax.Array,  # (N, 3)
     ei: jax.Array,
@@ -170,16 +182,40 @@ def _gauss_newton(
     iterations: int = 10,
     cg_iters: int = 50,
     damping: float = 1e-6,
+    robust_delta: float = 0.0,
+    robust_kernel: str = "huber",
+    robust_anneal_start: float = 0.0,
 ):
-    """All-edges Gauss-Newton with matrix-free CG on the normal equations."""
+    """All-edges Gauss-Newton with matrix-free CG on the normal equations.
 
-    def linearize(poses):
+    ``robust_delta`` > 0 enables a robust kernel via IRLS on the Mahalanobis
+    residual ||r||_Omega: 'huber' scales each edge's information by
+    min(1, delta/||r||) (bounded influence), 'tukey' by (1 - (||r||/delta)^2)^2
+    inside the band and 0 outside (full outlier rejection) — so wrong
+    loop-closure edges are down-weighted instead of dragging the trajectory.
+    ``robust_anneal_start`` > delta anneals the band linearly from that start
+    value down to delta over the iterations (graduated non-convexity): early
+    iterations tolerate the large residuals honest edges have under drift,
+    late iterations reject true outliers."""
+
+    def linearize(poses, delta):
         xi = poses[ei]
         xj = poses[ej]
         r, ji, jj = jax.vmap(_edge_residual_jac)(xi, xj, z)
-        chi2 = jnp.sum(jnp.einsum("ea,eab,eb->e", r, omega, r))
+        s = jnp.einsum("ea,eab,eb->e", r, omega, r)
+        if robust_delta > 0.0:
+            rho = jnp.sqrt(s + 1e-12)
+            if robust_kernel == "tukey":
+                u = rho / delta
+                w = jnp.where(u < 1.0, jnp.square(1.0 - jnp.square(u)), 0.0)
+            else:  # huber
+                w = jnp.minimum(1.0, delta / rho)
+            omega_w = omega * w[:, None, None]
+        else:
+            omega_w = omega
+        chi2 = jnp.sum(s)
         # b blocks: Ji^T O r and Jj^T O r, scattered to poses
-        omr = jnp.einsum("eab,eb->ea", omega, r)
+        omr = jnp.einsum("eab,eb->ea", omega_w, r)
         b = (
             jnp.zeros((n_poses, 3))
             .at[ei]
@@ -187,9 +223,9 @@ def _gauss_newton(
             .at[ej]
             .add(jnp.einsum("eba,eb->ea", jj, omr))
         )
-        return r, ji, jj, b, chi2
+        return r, ji, jj, b, chi2, omega_w
 
-    def hv(ji, jj, v):
+    def hv(ji, jj, omega_w, v):
         """Matrix-free H @ v with H = sum_e J_e^T O J_e (+ damping), with
         pose 0 projected out (gauge fix): rows/cols 0 replaced by identity."""
         v = v.at[0].set(0.0)
@@ -198,7 +234,7 @@ def _gauss_newton(
         jv = jnp.einsum("eab,eb->ea", ji, vi) + jnp.einsum(
             "eab,eb->ea", jj, vj
         )
-        ojv = jnp.einsum("eab,eb->ea", omega, jv)
+        ojv = jnp.einsum("eab,eb->ea", omega_w, jv)
         out = (
             jnp.zeros((n_poses, 3))
             .at[ei]
@@ -209,9 +245,14 @@ def _gauss_newton(
         out = out + damping * v
         return out.at[0].set(0.0)
 
-    def step(poses, _):
-        r, ji, jj, b, chi2 = linearize(poses)
-        matvec = lambda v: hv(ji, jj, v)
+    start = max(robust_anneal_start, robust_delta)
+    span = max(iterations - 1, 1)
+
+    def step(poses, k):
+        frac = k.astype(poses0.dtype) / span
+        delta = start + (robust_delta - start) * frac
+        r, ji, jj, b, chi2, omega_w = linearize(poses, delta)
+        matvec = lambda v: hv(ji, jj, omega_w, v)
         rhs = (-b).at[0].set(0.0)
         dx, _ = jax.scipy.sparse.linalg.cg(
             matvec, rhs, maxiter=cg_iters, tol=1e-10
@@ -220,7 +261,7 @@ def _gauss_newton(
         new = new.at[:, 2].set(wrap_angle(new[:, 2]))
         return new, chi2
 
-    poses, chi2s = jax.lax.scan(step, poses0, None, length=iterations)
+    poses, chi2s = jax.lax.scan(step, poses0, jnp.arange(iterations))
     return poses, chi2s
 
 
@@ -229,8 +270,18 @@ def optimize_pose_graph(
     initial_poses: np.ndarray,
     iterations: int = 10,
     cg_iters: int = 50,
+    robust_delta: float = 0.0,
+    robust_kernel: str = "huber",
+    robust_anneal_start: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Optimize; returns (poses (N, 3), chi2 history (iterations,))."""
+    """Optimize; returns (poses (N, 3), chi2 history (iterations,)).
+
+    ``robust_delta`` > 0 turns on a robust kernel (IRLS): 'huber' (bounded
+    influence) or 'tukey' (rejects outliers outside the delta band). A good
+    delta for loop-closure graphs is ~1-3 (units of Mahalanobis residual);
+    pair tukey with ``robust_anneal_start`` (e.g. 100x delta) so honest
+    closures survive the early high-drift iterations.
+    """
     poses, chi2s = _gauss_newton(
         jnp.asarray(initial_poses, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
         jnp.asarray(graph.edges_i),
@@ -240,5 +291,8 @@ def optimize_pose_graph(
         n_poses=graph.n_poses,
         iterations=iterations,
         cg_iters=cg_iters,
+        robust_delta=robust_delta,
+        robust_kernel=robust_kernel,
+        robust_anneal_start=robust_anneal_start,
     )
     return np.asarray(poses), np.asarray(chi2s)

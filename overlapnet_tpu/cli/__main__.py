@@ -9,6 +9,7 @@ Commands (reference counterparts in parentheses):
   train      train the model                        (src/two_heads/training.py)
   evaluate   evaluation harness                     (src/two_heads/testing.py)
   pack       build per-sequence image packs         (no reference counterpart)
+  sim        generate a synthetic KITTI sequence    (no reference counterpart)
 """
 
 from __future__ import annotations
@@ -39,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
         from overlapnet_tpu.cli.evaluate import main as run
     elif cmd == "pack":
         from overlapnet_tpu.cli.pack import main as run
+    elif cmd == "sim":
+        from overlapnet_tpu.cli.sim import main as run
     else:
         print(f"Unknown command: {cmd}\n{__doc__}")
         return 2

@@ -106,7 +106,7 @@ def evaluate(cfg, params=None, pack_dir: str = "", max_pairs: int | None = None)
     pred_yaw = np.zeros(limit, np.int64)
     for s in range(0, limit, 4096):
         sl = slice(s, min(s + 4096, limit))
-        pred_overlap[sl], pred_yaw[sl] = db.score_pairs(idx1[sl], idx2[sl])
+        pred_overlap[sl], pred_yaw[sl], _ = db.score_pairs(idx1[sl], idx2[sl])
 
     metrics = overlap_metrics(pred_overlap, pairs.overlap)
     ym = yaw_metrics(pred_yaw, pairs.orientation, pairs.overlap, w)

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 import yaml
@@ -30,6 +31,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", default="loop_closures.npz")
     ap.add_argument("--plot", default="")
+    ap.add_argument(
+        "--session", default="",
+        help="session checkpoint path: resumed from if it exists, written "
+             "after every --checkpoint-every frames (crash recovery)",
+    )
+    ap.add_argument("--checkpoint-every", type=int, default=100)
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -47,13 +54,21 @@ def main(argv: list[str]) -> int:
     n = args.frames if args.frames is not None else len(poses)
     infer = Infer(net_cfg, db_capacity=max(16, n))
     closer = OnlineLoopCloser(infer, poses[:n], covariances=covs[:n])
-    for idx in range(n):
+    start = 0
+    if args.session and os.path.exists(args.session):
+        start = closer.resume(args.session)
+        print(f"resumed session at frame {start} ({len(closer.closures)} closures)")
+    for idx in range(start, n):
         closure = closer.step(idx)
         if closure is not None:
             print(
                 f"frame {closure.frame:6d} -> {closure.match:6d}  "
                 f"overlap {closure.overlap:.3f}  yaw {closure.yaw_deg:+.0f} deg"
             )
+        if args.session and (idx + 1) % args.checkpoint_every == 0:
+            closer.save_checkpoint(args.session)
+    if args.session:
+        closer.save_checkpoint(args.session)
 
     closures = closer.closures
     np.savez(

@@ -117,7 +117,8 @@ def main(argv: list[str]) -> int:
 
     def device_batches(epoch):
         for batch in train_ds.batches(
-            cfg.train.batch_size, epoch=epoch, shuffle=True, drop_remainder=True
+            cfg.train.batch_size, epoch=epoch, shuffle=True,
+            drop_remainder=True, input_dtype=cfg.train.input_dtype,
         ):
             yield shard_batch(mesh, batch) if mesh is not None else batch
 

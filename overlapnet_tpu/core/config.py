@@ -87,6 +87,9 @@ class ModelConfig:
     # standardization (reference: NormalizedCorrelation2D.py:55-73; production
     # uses 'none', generateNet.py:343).
     correlation_normalize: str = "none"
+    # Detach the correlation head from the legs during training (see
+    # models/siamese.py OverlapNet.score); reference parity = False.
+    correlation_stop_gradient: bool = False
     # Yaw-head backend: 'fft' | 'conv' (grouped MXU conv) | 'auto'.
     correlation_method: str = "fft"
     # Overlap-head backend for the fused delta+c_conv1:
@@ -116,6 +119,19 @@ class TrainConfig:
     # Loss weights overlap:orientation (reference training.py:257).
     overlap_loss_weight: float = 5.0
     orientation_loss_weight: float = 1.0
+    # 'adagrad' = reference parity (training.py:253); 'adam' converges much
+    # faster on this net (adagrad's effective LR collapses after ~1 epoch).
+    optimizer: str = "adagrad"
+    # Global-norm gradient clip (0 = off). The saturated correlation logits
+    # at init produce leg gradients ~1000x the param norm; clipping keeps
+    # the first steps from killing the ReLUs.
+    grad_clip_norm: float = 0.0
+    # Restrict the orientation CE to pairs with a labeled yaw bin
+    # (overlap > min_overlap_for_angle); reference parity = False.
+    mask_zero_orientation: bool = False
+    # Host-side dtype of the image batch ('float32' | 'bfloat16'); bfloat16
+    # halves host->device transfer, the bottleneck on a remote-TPU link.
+    input_dtype: str = "float32"
     seed: int = 1234
 
 
@@ -227,6 +243,10 @@ def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
         raw.get("min_overlap_for_angle", t.min_overlap_for_angle)
     )
     t.rotate_training_data = int(raw.get("rotate_training_data", t.rotate_training_data))
+    t.optimizer = str(raw.get("optimizer", t.optimizer))
+    t.grad_clip_norm = float(raw.get("grad_clip_norm", t.grad_clip_norm))
+    t.input_dtype = str(raw.get("input_dtype", t.input_dtype))
+    t.mask_zero_orientation = bool(raw.get("mask_zero_orientation", t.mask_zero_orientation))
 
     d = cfg.data
     d.data_root_folder = raw.get("data_root_folder", d.data_root_folder)

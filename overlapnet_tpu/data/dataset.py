@@ -158,9 +158,20 @@ class PairImageDataset:
         drop_remainder: bool = False,
         prefetch: int = 2,
         max_batches: int | None = None,
+        input_dtype: str = "float32",
     ) -> Iterator[dict]:
         """Yield batch dicts {x1, x2, overlap, orientation} (host numpy),
-        assembled by a background thread."""
+        assembled by a background thread.
+
+        ``input_dtype='bfloat16'`` casts the image tensors on the host —
+        halves the host->device transfer (the training bottleneck over a
+        remote-TPU link) at ~3 significant digits of range precision."""
+        if input_dtype == "bfloat16":
+            import ml_dtypes
+
+            image_dtype = np.dtype(ml_dtypes.bfloat16)
+        else:
+            image_dtype = np.dtype(np.float32)
         if self.rotate_data == 2 and epoch > 0:
             self._shifts = self._draw_shifts()
 
@@ -213,6 +224,9 @@ class PairImageDataset:
             shifts = self._shifts if self.rotate_data > 0 else None
             x1 = gather_side(idx, p.dir1, p.imgf1, self._rows1, None)
             x2 = gather_side(idx, p.dir2, p.imgf2, self._rows2, shifts)
+            if image_dtype != np.float32:
+                x1 = x1.astype(image_dtype)
+                x2 = x2.astype(image_dtype)
             return {
                 "x1": x1,
                 "x2": x2,

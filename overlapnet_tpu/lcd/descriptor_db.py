@@ -98,15 +98,24 @@ class DescriptorDB:
             @jax.jit
             def score(params, fa, fb):
                 overlap, logits = self._head(params, fa, fb)
-                return jnp.reshape(overlap, (-1,)), jnp.argmax(logits, axis=-1)
+                # yaw confidence: softmax mass at the peak bin (flat logits
+                # -> ~1/W, sharp peak -> ~1); feeds the pose-graph edge
+                # information (closures_to_edges).
+                conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+                return (
+                    jnp.reshape(overlap, (-1,)),
+                    jnp.argmax(logits, axis=-1),
+                    conf,
+                )
 
             self._jit_cache[bucket] = score
         return self._jit_cache[bucket]
 
     def score_pairs(
         self, idx1: np.ndarray, idx2: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Score stored pairs; returns (overlap (n,), yaw_bin_argmax (n,)).
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Score stored pairs; returns (overlap (n,), yaw_bin_argmax (n,),
+        yaw_confidence (n,)).
 
         Pads to a power-of-two bucket so the jit cache stays small.
         """
@@ -114,26 +123,28 @@ class DescriptorDB:
         idx2 = np.asarray(idx2, np.int64)
         n = len(idx1)
         if n == 0:
-            return np.zeros(0, np.float32), np.zeros(0, np.int64)
+            return (np.zeros(0, np.float32), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32))
         b = _bucket(n)
         pad = b - n
         fa = self._fv[np.concatenate([idx1, np.zeros(pad, np.int64)])]
         fb = self._fv[np.concatenate([idx2, np.zeros(pad, np.int64)])]
-        overlap, yaw = self._scorer(b)(self._params, fa, fb)
-        return np.asarray(overlap)[:n], np.asarray(yaw)[:n]
+        overlap, yaw, conf = self._scorer(b)(self._params, fa, fb)
+        return np.asarray(overlap)[:n], np.asarray(yaw)[:n], np.asarray(conf)[:n]
 
     def query(
         self, query_fv: np.ndarray, candidate_idxs: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Score one query embedding against stored candidates.
 
-        Returns (overlaps (k,), yaw_bins (k,)); candidates are the *left*
-        input and the query the *right*, matching reference
-        infer.infer_multiple (infer.py:186-190).
+        Returns (overlaps (k,), yaw_bins (k,), yaw_confidences (k,));
+        candidates are the *left* input and the query the *right*, matching
+        reference infer.infer_multiple (infer.py:186-190).
         """
         k = len(candidate_idxs)
         if k == 0:
-            return np.zeros(0, np.float32), np.zeros(0, np.int64)
+            return (np.zeros(0, np.float32), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32))
         b = _bucket(k)
         pad = b - k
         idxs = np.concatenate([np.asarray(candidate_idxs, np.int64), np.zeros(pad, np.int64)])
@@ -141,8 +152,8 @@ class DescriptorDB:
         fb = np.broadcast_to(
             np.asarray(query_fv, np.float32)[None], fa.shape
         ).copy()
-        overlap, yaw = self._scorer(b)(self._params, fa, fb)
-        return np.asarray(overlap)[:k], np.asarray(yaw)[:k]
+        overlap, yaw, conf = self._scorer(b)(self._params, fa, fb)
+        return np.asarray(overlap)[:k], np.asarray(yaw)[:k], np.asarray(conf)[:k]
 
 
 class ShardedDescriptorDB:
@@ -191,12 +202,13 @@ class ShardedDescriptorDB:
             fb = jnp.broadcast_to(query_fv[None], fv_store.shape)
             overlap, logits = self._head(params, fv_store, fb)
             overlap = jnp.where(valid_mask, jnp.reshape(overlap, (-1,)), -1.0)
-            return overlap, jnp.argmax(logits, axis=-1)
+            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+            return overlap, jnp.argmax(logits, axis=-1), conf
 
         self._query = jax.jit(
             _query,
             in_shardings=(self._repl, self._row_sharding, self._repl, self._row_sharding),
-            out_shardings=(self._row_sharding, self._row_sharding),
+            out_shardings=(self._row_sharding,) * 3,
         )
 
     def __len__(self) -> int:
@@ -232,20 +244,20 @@ class ShardedDescriptorDB:
 
     def query_all(
         self, query_fv: np.ndarray, candidate_mask: np.ndarray | None = None
-    ) -> tuple[np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Score the query against every stored row (masked rows score -1).
 
-        Returns host (overlaps (capacity,), yaw_bins (capacity,)); only the
-        first ``len(self)`` entries are live.
+        Returns host (overlaps, yaw_bins, yaw_confidences), each (capacity,);
+        only the first ``len(self)`` entries are live.
         """
         mask = np.zeros(self._fv.shape[0], bool)
         mask[: self._n] = True
         if candidate_mask is not None:
             mask[: len(candidate_mask)] &= candidate_mask[: self._fv.shape[0]]
-        overlap, yaw = self._query(
+        overlap, yaw, conf = self._query(
             self._params,
             self._fv,
             jnp.asarray(query_fv, jnp.float32),
             jax.device_put(jnp.asarray(mask), self._row_sharding),
         )
-        return np.asarray(overlap), np.asarray(yaw)
+        return np.asarray(overlap), np.asarray(yaw), np.asarray(conf)

@@ -136,13 +136,14 @@ class Infer:
             self._db._head, self.params, capacity=2, width=self.output_size
         )
         db.add(fv)
-        overlap, yaw_bins = db.score_pairs([0], [1])
+        overlap, yaw_bins, _ = db.score_pairs([0], [1])
         return overlap[0], self._yaw_degrees(yaw_bins)
 
     def infer_multiple(self, current_frame_id: int, reference_frame_id: Sequence[int]):
         """Current frame versus already-seen frames (the LCD hot path,
         reference infer.py:162-203). Computes and caches the current frame's
-        embedding; returns (overlaps, yaws) or None if no references."""
+        embedding; returns (overlaps, yaws, yaw_confidences) or None if no
+        references."""
         name = str(current_frame_id).zfill(6)
         row = self._db.add(self.create_feature_volumes([name])[0])
         self._frame_rows[int(current_frame_id)] = row
@@ -152,10 +153,10 @@ class Infer:
         ref_rows = np.array(
             [self._frame_rows[int(r)] for r in reference_frame_id], np.int64
         )
-        overlaps, yaw_bins = self._db.query(
+        overlaps, yaw_bins, confs = self._db.query(
             self._db.feature_volumes[row], ref_rows
         )
-        return overlaps, self._yaw_degrees(yaw_bins)
+        return overlaps, self._yaw_degrees(yaw_bins), confs
 
     # -- serving-session checkpoint ---------------------------------------
 
@@ -208,7 +209,7 @@ class Infer:
         )
         db.add(fv)
         # reference pairs: left = second_idxs, right = first_idxs (infer.py:227-230)
-        overlaps, yaw_bins = db.score_pairs(
+        overlaps, yaw_bins, _ = db.score_pairs(
             np.asarray(second_idxs), np.asarray(first_idxs)
         )
         return overlaps, self._yaw_degrees(yaw_bins)

@@ -24,12 +24,15 @@ from overlapnet_tpu.lcd.infer import Infer
 
 @dataclass
 class LoopClosure:
-    """One detected loop: query frame, matched frame, overlap, yaw degrees."""
+    """One detected loop: query frame, matched frame, overlap, yaw degrees,
+    and yaw confidence (softmax peak mass of the orientation logits — scales
+    the yaw information of the pose-graph edge, closures_to_edges)."""
 
     frame: int
     match: int
     overlap: float
     yaw_deg: float
+    confidence: float = 1.0
 
 
 @dataclass
@@ -82,7 +85,7 @@ class OnlineLoopCloser:
         result = self.infer.infer_multiple(idx, candidates.tolist())
         if result is None:
             return None
-        overlaps, yaws = result
+        overlaps, yaws, confs = result
         best = int(np.argmax(overlaps))
         if overlaps[best] > self.overlap_threshold:
             closure = LoopClosure(
@@ -90,6 +93,7 @@ class OnlineLoopCloser:
                 match=int(candidates[best]),
                 overlap=float(overlaps[best]),
                 yaw_deg=float(np.atleast_1d(yaws)[best]),
+                confidence=float(np.atleast_1d(confs)[best]),
             )
             self.closures.append(closure)
             return closure
@@ -110,9 +114,10 @@ class OnlineLoopCloser:
         preempted LCD session resumes exactly where it stopped without
         re-embedding historical scans (no reference counterpart)."""
         closures = np.array(
-            [[c.frame, c.match, c.overlap, c.yaw_deg] for c in self.closures],
+            [[c.frame, c.match, c.overlap, c.yaw_deg, c.confidence]
+             for c in self.closures],
             np.float64,
-        ).reshape(-1, 4)
+        ).reshape(-1, 5)
         self.infer.save_cache(path)
         # np.savez can't append; write session metadata alongside the cache.
         with np.load(path) as data:
@@ -128,7 +133,7 @@ class OnlineLoopCloser:
         with np.load(path) as data:
             self._next_frame = int(data["next_frame"])
             self.closures = [
-                LoopClosure(int(f), int(m), float(o), float(y))
-                for f, m, o, y in data["closures"]
+                LoopClosure(int(f), int(m), float(o), float(y), float(c))
+                for f, m, o, y, c in data["closures"]
             ]
         return self._next_frame

@@ -111,15 +111,42 @@ class DeltaConv1OverlapHead(nn.Module):
 
 class CorrelationHead(nn.Module):
     """Yaw-orientation logits: circular cross-correlation over all W shifts,
-    peak centered at bin W//2 (parameter-free; reference
-    generateNet.py:327-354). Yaw degrees at inference = W//2 - argmax."""
+    peak centered at bin W//2 (parameter-free in 'none'..'standardization'
+    modes; reference generateNet.py:327-354). Yaw degrees at inference =
+    W//2 - argmax.
+
+    Extra mode 'cosine' (no reference counterpart): the raw correlation of
+    non-centered ReLU features carries a huge positive DC offset (~+400
+    logits at init), which saturates the weighted cross-entropy and blows up
+    leg gradients until the first optimizer step kills every ReLU. Cosine
+    mode zero-centers each feature volume, normalizes by the full Frobenius
+    norm (logits in [-1, 1]), and multiplies by a learnable temperature so
+    training can sharpen the peak — the contrastive-logit pattern."""
 
     cfg: ModelConfig
 
+    @nn.compact
     def __call__(self, fa: jax.Array, fb: jax.Array) -> jax.Array:
+        mode = self.cfg.correlation_normalize
+        if mode == "cosine":
+            def center_norm(x):
+                x = x - jnp.mean(x, axis=(-2, -1), keepdims=True)
+                n = jnp.linalg.norm(x, axis=(-2, -1), keepdims=True)
+                return x / jnp.where(n > 0, n, 1.0)
+
+            fa, fb = center_norm(fa), center_norm(fb)
+            scale = self.param(
+                "logit_scale",
+                nn.initializers.constant(10.0),
+                (),
+                jnp.float32,
+            )
+            return scale * circular_correlation(
+                fa, fb, normalize="none", method=self.cfg.correlation_method
+            )
         return circular_correlation(
             fa,
             fb,
-            normalize=self.cfg.correlation_normalize,
+            normalize=mode,
             method=self.cfg.correlation_method,
         )  # (B, W) logits

@@ -54,7 +54,17 @@ class OverlapNet(nn.Module):
 
     def score(self, fa: jax.Array, fb: jax.Array):
         """Heads on cached feature volumes -> (overlap, orientation logits)."""
-        return self.overlap_head(fa, fb), self.orientation_head(fa, fb)
+        if self.cfg.correlation_stop_gradient:
+            # Train the legs through the overlap loss only: the orientation
+            # CE's gradient through the shared legs flattens the features and
+            # stalls overlap learning (measured: overlap RMS frozen at the
+            # untrained value when both backprop into the legs). Yaw then
+            # comes from correlating overlap-learned features; the head's
+            # learnable logit scale still trains from the CE.
+            ga, gb = jax.lax.stop_gradient(fa), jax.lax.stop_gradient(fb)
+        else:
+            ga, gb = fa, fb
+        return self.overlap_head(fa, fb), self.orientation_head(ga, gb)
 
     def __call__(self, x1: jax.Array, x2: jax.Array):
         fa = self.encode(x1)

@@ -1,0 +1,373 @@
+"""End-to-end pipeline on a synthetic world: the framework's accuracy harness.
+
+The reference's accuracy numbers require KITTI sequence downloads
+(reference README.md:137-141) that are unavailable here, so this module
+establishes the empirical accuracy baseline (BASELINE.md) on a procedurally
+generated sequence instead, exercising every production component in order:
+
+  sim scans -> projection images -> GT overlap/yaw -> balanced train/val
+  npz -> pjit training -> testing.py-equivalent metrics -> covariance-gated
+  online LCD -> loop-closure precision/recall/F1 + yaw RMSE -> pose-graph
+  optimization -> ATE before/after.
+
+Run:  python -m overlapnet_tpu.sim.e2e --work-dir /tmp/e2e --frames 64
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+SEQ = "00"
+
+
+def generate_sequence(work_dir: str, n_frames: int, seed: int = 0, laps: float = 2.0):
+    """Simulated KITTI-layout sequence + preprocessed channel images.
+
+    Returns (files dict, sensor poses (n, 4, 4)). If the sequence already
+    exists in ``work_dir`` (same frame count), it is reused as-is."""
+    from overlapnet_tpu.geometry.gen_data import gen_depth_data, gen_normal_data
+    from overlapnet_tpu.sim.world import loop_trajectory, make_world, write_kitti_sequence
+
+    seq_dir = os.path.join(work_dir, SEQ)
+    files = {
+        "scan_folder": os.path.join(seq_dir, "velodyne"),
+        "poses_file": os.path.join(seq_dir, "poses.txt"),
+        "calib_file": os.path.join(seq_dir, "calib.txt"),
+        "covariance_file": os.path.join(seq_dir, "covariance.txt"),
+    }
+    poses = loop_trajectory(n_frames, laps=laps)
+    if (
+        os.path.isdir(os.path.join(seq_dir, "depth"))
+        and len(os.listdir(os.path.join(seq_dir, "depth"))) == n_frames
+    ):
+        print(f"reusing existing sequence in {seq_dir}")
+        return files, poses
+
+    rng = np.random.default_rng(seed)
+    world = make_world(rng)
+    write_kitti_sequence(seq_dir, world, poses, seed=seed)
+    gen_depth_data(files["scan_folder"], seq_dir)
+    gen_normal_data(files["scan_folder"], seq_dir)
+    return files, poses
+
+
+def build_gt(
+    work_dir: str,
+    files: dict,
+    poses: np.ndarray,
+    leg_output_width: int = 360,
+    query_stride: int = 1,
+    seed: int = 0,
+) -> dict[str, str]:
+    """All-queries GT overlap/yaw -> balanced/split demo4-style npz files.
+
+    The reference's demo4 computes GT for frame 0 only
+    (demo4_gen_gt_files.py:66-74); training data needs every query frame, so
+    this loops the (device-batched) com_overlap_yaw over queries."""
+    from overlapnet_tpu.data import (
+        normalize_overlap_distribution,
+        save_gt_files,
+        split_train_val,
+    )
+    from overlapnet_tpu.geometry import kitti
+    from overlapnet_tpu.geometry.overlap import com_overlap_yaw
+
+    gt_dir = os.path.join(work_dir, SEQ, "ground_truth")
+    full_npz = os.path.join(gt_dir, "ground_truth_overlap_yaw.npz")
+    if os.path.exists(full_npz):
+        print(f"reusing existing GT in {gt_dir}")
+        return {
+            "train_set": os.path.join(gt_dir, "train_set.npz"),
+            "validation_set": os.path.join(gt_dir, "validation_set.npz"),
+            "ground_truth_overlap_yaw": full_npz,
+            "gt_table": np.load(full_npz, allow_pickle=True)["overlaps"],
+        }
+
+    scan_paths = kitti.load_files(files["scan_folder"])
+    rows = [
+        com_overlap_yaw(scan_paths, poses, q, leg_output_width=leg_output_width)
+        for q in range(0, len(scan_paths), query_stride)
+    ]
+    gt = np.concatenate(rows)
+    balanced = normalize_overlap_distribution(gt, rng=np.random.default_rng(seed))
+    train, val = split_train_val(balanced, rng=np.random.default_rng(seed))
+    out = save_gt_files(
+        os.path.join(work_dir, SEQ, "ground_truth"), SEQ, gt, train, val
+    )
+    out["gt_table"] = gt
+    return out
+
+
+def make_config(work_dir: str, model_overrides: dict | None = None, **train_overrides):
+    from overlapnet_tpu.core.config import OverlapNetConfig
+
+    cfg = OverlapNetConfig()
+    cfg.data.data_root_folder = work_dir
+    cfg.data.infer_seqs = SEQ
+    cfg.experiment.experiments_path = os.path.join(work_dir, "exp")
+    cfg.experiment.pretrained_weightsfilename = ""
+    # Trainability defaults (see CorrelationHead 'cosine' and
+    # TrainConfig.grad_clip_norm docstrings): raw correlation logits saturate
+    # at init and the resulting gradient spike kills the ReLUs.
+    cfg.model = dataclasses.replace(
+        cfg.model,
+        correlation_normalize="cosine",
+        correlation_stop_gradient=True,
+    )
+    cfg.train.optimizer = "adam"
+    cfg.train.grad_clip_norm = 1.0
+    cfg.train.mask_zero_orientation = True
+    # 1e-3 Adam still collapses the ReLUs on this net; 3e-4 trains stably
+    # (established by the 128-pair overfit probe).
+    cfg.train.learning_rate = 3e-4
+    if model_overrides:
+        cfg.model = dataclasses.replace(cfg.model, **model_overrides)
+    for k, v in train_overrides.items():
+        setattr(cfg.train, k, v)
+    return cfg
+
+
+def train_and_eval(cfg, gt_paths: dict, mesh=None) -> dict:
+    """Train on the synthetic GT; returns metrics incl. the untrained
+    baseline (proof the accuracy comes from learning, not the harness)."""
+    from overlapnet_tpu.data import load_gt_pairs
+    from overlapnet_tpu.data.dataset import PairImageDataset
+    from overlapnet_tpu.parallel.mesh import shard_batch
+    from overlapnet_tpu.train.trainer import Trainer
+
+    pairs = load_gt_pairs([gt_paths["train_set"]], shuffle=True,
+                          rng=np.random.default_rng(cfg.train.seed))
+    val_pairs = load_gt_pairs([gt_paths["validation_set"]], shuffle=False)
+    ds_kwargs = dict(
+        channels=cfg.channels,
+        height=cfg.model.input_height,
+        width=cfg.model.input_width,
+    )
+    train_ds = PairImageDataset(
+        cfg.data.image_root, pairs,
+        rotate_data=cfg.train.rotate_training_data,
+        seed=cfg.train.seed, **ds_kwargs,
+    )
+    val_ds = PairImageDataset(cfg.data.image_root, val_pairs, **ds_kwargs)
+
+    steps_per_epoch = max(1, len(pairs) // cfg.train.batch_size)
+    trainer = Trainer(cfg, steps_per_epoch=steps_per_epoch, mesh=mesh)
+
+    def val_batches():
+        return val_ds.batches(cfg.train.batch_size)
+
+    results = {"n_train_pairs": len(pairs), "n_val_pairs": len(val_pairs)}
+    results["untrained"] = trainer.evaluate(val_batches())
+
+    def device_batches(epoch):
+        for batch in train_ds.batches(
+            cfg.train.batch_size, epoch=epoch, shuffle=True,
+            drop_remainder=True, input_dtype=cfg.train.input_dtype,
+        ):
+            yield shard_batch(mesh, batch) if mesh is not None else batch
+
+    for epoch in range(cfg.train.no_epochs):
+        m = trainer.run_epoch(device_batches(epoch))
+        print(f"epoch {epoch}: loss {m.get('epoch_loss', float('nan')):.4f} "
+              f"({m.get('train_pairs_per_sec', 0):.1f} pairs/s)")
+        results[f"epoch{epoch}_loss"] = m.get("epoch_loss")
+    results["trained"] = trainer.evaluate(val_batches())
+    results["params"] = trainer.state.params
+    return results
+
+
+def run_lcd(cfg, params, poses: np.ndarray, gt_table: np.ndarray,
+            covariance_file: str | None = None,
+            overlap_threshold: float = 0.3) -> dict:
+    """Online LCD with the trained net; precision/recall/F1 against the
+    simulator's GT overlap, yaw RMSE on true positives."""
+    from overlapnet_tpu.geometry import kitti
+    from overlapnet_tpu.lcd.gating import candidate_mask, trajectory_lengths
+    from overlapnet_tpu.lcd.infer import Infer
+    from overlapnet_tpu.lcd.online import OnlineLoopCloser
+
+    n = len(poses)
+    # dense GT overlap lookup
+    gt_overlap = np.zeros((n, n))
+    q, r = gt_table[:, 0].astype(int), gt_table[:, 1].astype(int)
+    gt_overlap[q, r] = gt_table[:, 2]
+
+    covs = kitti.load_covariances(covariance_file) if covariance_file else None
+    infer = Infer(cfg, params=params, db_capacity=max(16, n))
+    closer = OnlineLoopCloser(
+        infer, poses, covariances=covs, overlap_threshold=overlap_threshold,
+        inactive_time=min(100, n // 4), inactive_dist=50.0,
+    )
+    closures = closer.run()
+
+    # ground truth positives under the SAME gating the engine used
+    positions = poses[:, :2, 3]
+    traj = trajectory_lengths(positions)
+    positive_frames = set()
+    from overlapnet_tpu.lcd.gating import CovarianceEllipse
+
+    for idx in range(n):
+        ellipse = (
+            CovarianceEllipse.from_covariance(covs[idx][:2, :2], closer.nstd)
+            if covs is not None
+            else CovarianceEllipse(np.inf, np.inf, 0.0)
+        )
+        mask = candidate_mask(
+            idx, positions, traj, ellipse, closer.inactive_time, closer.inactive_dist
+        )
+        cands = np.flatnonzero(mask)
+        if len(cands) and gt_overlap[idx, cands].max() > overlap_threshold:
+            positive_frames.add(idx)
+
+    tp = [c for c in closures if gt_overlap[c.frame, c.match] > overlap_threshold]
+    fp = [c for c in closures if gt_overlap[c.frame, c.match] <= overlap_threshold]
+    detected_frames = {c.frame for c in tp}
+    precision = len(tp) / len(closures) if closures else 0.0
+    recall = (
+        len(detected_frames & positive_frames) / len(positive_frames)
+        if positive_frames
+        else 0.0
+    )
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+
+    # yaw RMSE (circular, degrees) over true positives
+    from overlapnet_tpu.geometry.rotations import relative_yaw
+
+    errs = []
+    for c in tp:
+        true_yaw = np.degrees(relative_yaw(poses[c.frame], poses[c.match]))
+        d = abs(c.yaw_deg - true_yaw) % 360.0
+        errs.append(min(d, 360.0 - d))
+    yaw_rmse = float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan")
+
+    return {
+        "n_closures": len(closures),
+        "true_positives": len(tp),
+        "false_positives": len(fp),
+        "positive_frames": len(positive_frames),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "yaw_rmse_deg": yaw_rmse,
+        "closures": closures,
+    }
+
+
+def run_pose_graph(poses: np.ndarray, closures, yaw_drift: float = 0.003,
+                   seed: int = 0) -> dict:
+    """Drifted odometry + detected closures -> optimized trajectory; ATE
+    before/after (the framework's north-star backend metric)."""
+    from overlapnet_tpu.backend import (
+        absolute_trajectory_error,
+        closures_to_edges,
+        odometry_edges,
+        optimize_pose_graph,
+    )
+    from overlapnet_tpu.backend.pose_graph import (
+        poses_se3_to_se2,
+        relative_pose,
+        wrap_angle,
+    )
+
+    gt = poses_se3_to_se2(poses)
+    rng = np.random.default_rng(seed)
+    est = [gt[0].copy()]
+    for k in range(1, len(gt)):
+        rel = np.asarray(relative_pose(gt[k - 1], gt[k]))
+        rel = rel + np.array([0.0, 0.0, yaw_drift + rng.normal(0, 1e-4)])
+        x, y, th = est[-1]
+        est.append(
+            np.array([
+                x + rel[0] * np.cos(th) - rel[1] * np.sin(th),
+                y + rel[0] * np.sin(th) + rel[1] * np.cos(th),
+                wrap_angle(th + rel[2]),
+            ])
+        )
+    est = np.array(est)
+
+    odo = odometry_edges(est)
+    ate_before = absolute_trajectory_error(est, gt)["ate_rmse"]
+    if closures:
+        graph = odo.merged(closures_to_edges(closures, len(gt)))
+        # annealed Tukey: detector yaw outliers get rejected, not averaged in
+        optimized, _ = optimize_pose_graph(
+            graph, est, iterations=30, cg_iters=200,
+            robust_delta=3.0, robust_kernel="tukey", robust_anneal_start=300.0,
+        )
+        ate_after = absolute_trajectory_error(np.asarray(optimized), gt)["ate_rmse"]
+    else:
+        ate_after = ate_before
+    return {"ate_before_m": float(ate_before), "ate_after_m": float(ate_after)}
+
+
+def run_e2e(
+    work_dir: str,
+    n_frames: int = 64,
+    epochs: int = 6,
+    batch_size: int = 8,
+    seed: int = 0,
+    model_overrides: dict | None = None,
+    query_stride: int = 1,
+    mesh=None,
+) -> dict:
+    """The full pipeline; returns a flat metrics dict (see module docstring)."""
+    from overlapnet_tpu.models import leg_output_width
+
+    os.makedirs(work_dir, exist_ok=True)
+    files, poses = generate_sequence(work_dir, n_frames, seed=seed)
+    cfg = make_config(
+        work_dir, model_overrides,
+        batch_size=batch_size, no_epochs=epochs, seed=seed,
+    )
+    gt_paths = build_gt(
+        work_dir, files, poses,
+        leg_output_width=leg_output_width(cfg.model),
+        query_stride=query_stride, seed=seed,
+    )
+    train_results = train_and_eval(cfg, gt_paths, mesh=mesh)
+    params = train_results.pop("params")
+    lcd = run_lcd(cfg, params, poses, gt_paths["gt_table"],
+                  covariance_file=files["covariance_file"])
+    closures = lcd.pop("closures")
+    backend = run_pose_graph(poses, closures, seed=seed)
+
+    return {
+        "frames": n_frames,
+        **{f"train_{k}": v for k, v in train_results.items()
+           if not isinstance(v, dict)},
+        **{f"untrained_{k}": v for k, v in train_results["untrained"].items()},
+        **{f"trained_{k}": v for k, v in train_results["trained"].items()},
+        **{f"lcd_{k}": v for k, v in lcd.items()},
+        **backend,
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from overlapnet_tpu.core.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--work-dir", required=True)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="", help="write the metrics JSON here")
+    args = ap.parse_args()
+
+    metrics = run_e2e(
+        args.work_dir, n_frames=args.frames, epochs=args.epochs,
+        batch_size=args.batch_size, seed=args.seed,
+    )
+    line = json.dumps(metrics, default=float)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")

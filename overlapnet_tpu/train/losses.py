@@ -51,6 +51,7 @@ def weighted_orientation_entropy(
     target: jax.Array,
     pos_weight: float,
     min_overlap_for_angle: float = 0.7,
+    pair_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Weighted cross-entropy on yaw logits (training.py:86-92).
 
@@ -67,6 +68,13 @@ def weighted_orientation_entropy(
     loss = (1.0 - z) * x + log_weight * (
         jnp.log1p(jnp.exp(-jnp.abs(x))) + jax.nn.relu(-x)
     )
+    if pair_mask is not None:
+        # average only over pairs that carry a yaw label: a sub-threshold
+        # pair's all-zero target means "yaw unknown", not "no yaw" —
+        # penalizing every bin there only teaches logit suppression.
+        per_pair = jnp.mean(loss, axis=-1)
+        m = pair_mask.astype(loss.dtype)
+        return jnp.sum(per_pair * m) / jnp.maximum(jnp.sum(m), 1.0)
     return jnp.mean(loss)
 
 
@@ -80,14 +88,23 @@ def combined_loss(
     min_overlap_for_angle: float = 0.7,
     overlap_weight: float = 5.0,
     orientation_weight: float = 1.0,
+    mask_zero_orientation: bool = False,
 ):
-    """Total loss = 5 * overlap + 1 * orientation (training.py:257)."""
+    """Total loss = 5 * overlap + 1 * orientation (training.py:257).
+
+    ``mask_zero_orientation`` restricts the orientation CE to pairs whose
+    overlap exceeds min_overlap_for_angle (the only ones with a labeled yaw
+    bin); reference parity = False (training.py:86-92 averages over all)."""
     l_overlap = sigmoid_overlap_loss(overlap_pred, overlap_true)
+    pair_mask = (
+        overlap_true > min_overlap_for_angle if mask_zero_orientation else None
+    )
     l_orient = weighted_orientation_entropy(
         orientation_logits,
         orientation_target_vec,
         pos_weight,
         min_overlap_for_angle,
+        pair_mask=pair_mask,
     )
     total = overlap_weight * l_overlap + orientation_weight * l_orient
     return total, {"loss": total, "overlap_loss": l_overlap, "orientation_loss": l_orient}

@@ -42,9 +42,20 @@ def make_optimizer(cfg: OverlapNetConfig, steps_per_epoch: int) -> optax.Gradien
     schedule = reference_lr_schedule(
         cfg.train.learning_rate, cfg.train.lr_alpha, steps_per_epoch
     )
-    tx = optax.adagrad(
-        learning_rate=schedule, initial_accumulator_value=0.0, eps=1e-7
-    )
+    if cfg.train.optimizer == "adam":
+        tx = optax.adam(learning_rate=schedule)
+    elif cfg.train.optimizer == "adagrad":
+        tx = optax.adagrad(
+            learning_rate=schedule, initial_accumulator_value=0.0, eps=1e-7
+        )
+    else:
+        raise ValueError(
+            f"unknown optimizer {cfg.train.optimizer!r} (adagrad|adam)"
+        )
+    if cfg.train.grad_clip_norm > 0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx
+        )
     if not cfg.model.legs_trainable:
         # Freeze the legs: zero their updates (360OutputkLegsFixed semantics).
         def label_fn(params):
@@ -100,6 +111,7 @@ def make_train_step(
             min_overlap_for_angle=cfg.train.min_overlap_for_angle,
             overlap_weight=cfg.train.overlap_loss_weight,
             orientation_weight=cfg.train.orientation_loss_weight,
+            mask_zero_orientation=cfg.train.mask_zero_orientation,
         )
 
     def step_fn(state: TrainState, batch):

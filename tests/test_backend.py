@@ -136,3 +136,32 @@ def test_ate_alignment_invariance():
     moved = gt @ rot.T + np.array([10.0, -3.0])
     m = absolute_trajectory_error(moved, gt)
     assert m["ate_rmse"] < 1e-9  # rigid motion aligned away
+
+
+def test_robust_kernel_rejects_outlier_closure():
+    """One grossly wrong relative-pose closure: plain GN gets dragged off,
+    Huber bounds the damage, Tukey rejects the outlier entirely."""
+    from overlapnet_tpu.backend import relative_pose_edges
+
+    gt = square_trajectory(side=25)
+    est = drifted_odometry(gt, yaw_drift=0.004)
+
+    n = len(gt)
+    pairs = np.array([[0, n - 1], [0, n - 2], [1, n - 1], [25, 75]])
+    z = np.stack([np.asarray(relative_pose(gt[a], gt[b])) for a, b in pairs])
+    z[3] = np.array([40.0, -40.0, 2.0])  # outlier: frames 25/75 are far apart
+
+    graph = PoseGraph.merged(odometry_edges(est), relative_pose_edges(pairs, z, n))
+    plain, _ = optimize_pose_graph(graph, est, iterations=30, cg_iters=300)
+    huber, _ = optimize_pose_graph(
+        graph, est, iterations=30, cg_iters=300, robust_delta=2.0
+    )
+    tukey, _ = optimize_pose_graph(
+        graph, est, iterations=30, cg_iters=300,
+        robust_delta=3.0, robust_kernel="tukey", robust_anneal_start=300.0,
+    )
+    ate_plain = absolute_trajectory_error(plain, gt)["ate_rmse"]
+    ate_huber = absolute_trajectory_error(huber, gt)["ate_rmse"]
+    ate_tukey = absolute_trajectory_error(tukey, gt)["ate_rmse"]
+    assert ate_huber < ate_plain / 2, (ate_plain, ate_huber)
+    assert ate_tukey < 1.0, (ate_plain, ate_huber, ate_tukey)

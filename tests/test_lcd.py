@@ -46,7 +46,7 @@ def test_descriptor_db_matches_direct_head(head_setup):
     assert len(db) == 5
 
     idx1, idx2 = np.array([0, 2, 4]), np.array([1, 3, 0])
-    ov, yaw = db.score_pairs(idx1, idx2)
+    ov, yaw, conf = db.score_pairs(idx1, idx2)
     direct_ov, direct_logits = head_apply(
         params, fvs[idx1], fvs[idx2]
     )
@@ -61,7 +61,7 @@ def test_descriptor_db_query_left_right_convention(head_setup):
     fvs = rng.normal(size=(4, w, 128)).astype(np.float32)
     db = DescriptorDB(head_apply, params, capacity=8, width=w)
     db.add(fvs)
-    ov, yaw = db.query(fvs[3], np.array([0, 1, 2]))
+    ov, yaw, conf = db.query(fvs[3], np.array([0, 1, 2]))
     # candidates are the left leg, query the right (reference infer.py:186-190)
     direct_ov, _ = head_apply(params, fvs[[0, 1, 2]], np.stack([fvs[3]] * 3))
     np.testing.assert_allclose(ov, np.asarray(direct_ov).ravel(), rtol=1e-4, atol=1e-5)
@@ -90,11 +90,11 @@ def test_sharded_descriptor_db(head_setup):
     assert len(sdb) == 6
     query = fvs[5]
     mask = np.array([True, True, False, True, False, False])
-    ov, yaw = sdb.query_all(query, mask)
+    ov, yaw, conf = sdb.query_all(query, mask)
 
     ref_db = DescriptorDB(head_apply, params, capacity=16, width=w)
     ref_db.add(fvs)
-    ref_ov, ref_yaw = ref_db.query(query, np.array([0, 1, 3]))
+    ref_ov, ref_yaw, _ = ref_db.query(query, np.array([0, 1, 3]))
     np.testing.assert_allclose(ov[[0, 1, 3]], ref_ov, rtol=1e-4, atol=1e-5)
     # masked and empty rows score -1
     assert np.all(ov[[2, 4, 5]] == -1.0) and np.all(ov[6:] == -1.0)
@@ -113,8 +113,8 @@ def test_descriptor_db_save_restore(head_setup, tmp_path):
     db2 = DescriptorDB(head_apply, params, capacity=8, width=w)
     assert db2.restore(path) == 5
     np.testing.assert_array_equal(db2.feature_volumes, fvs)
-    ov1, _ = db.query(fvs[4], np.array([0, 1, 2]))
-    ov2, _ = db2.query(fvs[4], np.array([0, 1, 2]))
+    ov1, _, _ = db.query(fvs[4], np.array([0, 1, 2]))
+    ov2, _, _ = db2.query(fvs[4], np.array([0, 1, 2]))
     np.testing.assert_allclose(ov1, ov2, rtol=1e-5)
 
     # capacity guard
@@ -138,8 +138,8 @@ def test_sharded_descriptor_db_save_restore(head_setup, tmp_path):
 
     sdb2 = ShardedDescriptorDB(head_apply, params, mesh, capacity=16, width=w)
     assert sdb2.restore(path) == 6
-    ov1, _ = sdb.query_all(fvs[0])
-    ov2, _ = sdb2.query_all(fvs[0])
+    ov1, _, _ = sdb.query_all(fvs[0])
+    ov2, _, _ = sdb2.query_all(fvs[0])
     np.testing.assert_allclose(ov1, ov2, rtol=1e-5)
 
 

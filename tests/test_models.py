@@ -136,3 +136,26 @@ def test_gradients_flow(small_model_cfg):
     leaf = grads["params"]["legs"]["s_conv1"]["kernel"]
     assert np.all(np.isfinite(np.asarray(leaf)))
     assert np.abs(np.asarray(leaf)).sum() > 0
+
+
+def test_cosine_correlation_head(small_model_cfg):
+    """'cosine' mode: bounded logits (|z| <= logit_scale), learnable scale
+    param present, and the self-pair peak stays at the center bin."""
+    import dataclasses
+
+    cfg = dataclasses.replace(small_model_cfg, correlation_normalize="cosine")
+    params = init_params(cfg, num_channels=4, rng=3)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = ["/".join(str(getattr(k, "key", k)) for k in p) for p, _ in flat]
+    assert any("logit_scale" in n for n in names), names
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 64, cfg.input_width, 4)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(2, 64, cfg.input_width, 4)).astype(np.float32))
+    model = build_model(cfg)
+    _, orient = model.apply(params, x, y)
+    assert float(jnp.max(jnp.abs(orient))) <= 10.0 + 1e-3  # |cos| <= 1 * scale
+
+    _, self_orient = model.apply(params, x, x)
+    w = leg_output_width(cfg)
+    assert int(jnp.argmax(self_orient[0])) == w // 2

@@ -202,3 +202,59 @@ def test_params_npz_roundtrip(tmp_path):
     loaded = load_params_npz(path, other)
     for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
+
+
+def test_train_step_bfloat16_inputs():
+    """bf16 image batches (host transfer optimization) must train: finite
+    loss, close to the f32 loss at init."""
+    import ml_dtypes
+
+    cfg = small_cfg()
+    from overlapnet_tpu.train.trainer import create_train_state, make_train_step
+
+    state, tx = create_train_state(cfg, steps_per_epoch=100, rng=0)
+    step = make_train_step(cfg, tx)
+    batch = make_batch(cfg)
+    bf16 = {
+        **batch,
+        "x1": batch["x1"].astype(ml_dtypes.bfloat16),
+        "x2": batch["x2"].astype(ml_dtypes.bfloat16),
+    }
+    state_f32, m_f32 = step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    state2, _ = create_train_state(cfg, steps_per_epoch=100, rng=0)
+    state_bf, m_bf = step(state2, {k: jnp.asarray(v) for k, v in bf16.items()})
+    assert np.isfinite(float(m_bf["loss"]))
+    np.testing.assert_allclose(
+        float(m_bf["loss"]), float(m_f32["loss"]), rtol=0.05
+    )
+
+
+def test_dataset_bfloat16_batches(tmp_path):
+    """PairImageDataset input_dtype='bfloat16' yields bf16 image tensors."""
+    import ml_dtypes
+    import os
+
+    from overlapnet_tpu.core.config import ChannelConfig
+    from overlapnet_tpu.data.dataset import PairImageDataset
+    from overlapnet_tpu.data.gt_files import PairList
+
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "07" / "depth")
+    os.makedirs(tmp_path / "07" / "normal")
+    for i in range(2):
+        np.save(tmp_path / "07" / "depth" / f"{i:06d}.npy",
+                rng.normal(size=(64, 360)).astype(np.float32))
+        np.save(tmp_path / "07" / "normal" / f"{i:06d}.npy",
+                rng.normal(size=(64, 360, 3)).astype(np.float32))
+    pairs = PairList(["000000"], ["000001"], ["07"], ["07"],
+                     np.array([0.5]), np.array([10.0]))
+    ds = PairImageDataset(str(tmp_path), pairs, channels=ChannelConfig(),
+                          height=64, width=360)
+    (b,) = list(ds.batches(1, input_dtype="bfloat16"))
+    assert b["x1"].dtype == ml_dtypes.bfloat16
+    assert b["overlap"].dtype == np.float32
+    (b32,) = list(ds.batches(1))
+    np.testing.assert_allclose(
+        b["x1"].astype(np.float32), b32["x1"], rtol=0.01, atol=0.01
+    )
