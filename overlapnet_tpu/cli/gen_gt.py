@@ -21,7 +21,7 @@ import yaml
 
 from overlapnet_tpu.data import normalize_overlap_distribution, save_gt_files, split_train_val
 from overlapnet_tpu.geometry import kitti
-from overlapnet_tpu.geometry.overlap import com_overlap_yaw
+from overlapnet_tpu.geometry.overlap import com_overlap_yaw, com_overlap_yaw_all
 
 
 def main(argv: list[str]) -> int:
@@ -34,6 +34,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--seq", default="07")
     ap.add_argument("--frame-idx", type=int, default=0,
                     help="query frame (reference demo4 uses frame 0)")
+    ap.add_argument("--all-queries", action="store_true",
+                    help="full N x N GT (every frame as query; training data)")
+    ap.add_argument("--query-stride", type=int, default=1,
+                    help="with --all-queries: take every k-th query frame")
     ap.add_argument("--leg-output-width", type=int, default=360)
     ap.add_argument("--plot", default="",
                     help="save a trajectory plot colored by overlap (demo4 vis_gt)")
@@ -56,10 +60,22 @@ def main(argv: list[str]) -> int:
     poses = kitti.poses_cam_to_velo(kitti.load_poses(poses_file), T_cam_velo)
     print(f"{len(scan_paths)} scans, {len(poses)} poses")
 
-    gt = com_overlap_yaw(
-        scan_paths, poses, frame_idx=args.frame_idx,
-        leg_output_width=args.leg_output_width,
-    )
+    if args.all_queries:
+        import time
+
+        t0 = time.perf_counter()
+        gt = com_overlap_yaw_all(
+            scan_paths, poses,
+            query_idxs=range(0, len(scan_paths), args.query_stride),
+            leg_output_width=args.leg_output_width,
+        )
+        dt = time.perf_counter() - t0
+        print(f"GT: {len(gt)} pairs in {dt:.1f}s ({len(gt) / dt:.1f} pairs/s)")
+    else:
+        gt = com_overlap_yaw(
+            scan_paths, poses, frame_idx=args.frame_idx,
+            leg_output_width=args.leg_output_width,
+        )
     print(f"ground truth: {len(gt)} pairs, "
           f"overlap mean {gt[:, 2].mean():.3f} max {gt[:, 2].max():.3f}")
 
@@ -78,9 +94,10 @@ def main(argv: list[str]) -> int:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        xy = poses[:, :2, 3]
+        rows = gt[gt[:, 0] == args.frame_idx]
+        xy = poses[rows[:, 1].astype(int), :2, 3]
         plt.figure(figsize=(7, 7))
-        sc = plt.scatter(xy[:, 0], xy[:, 1], c=gt[:, 2], s=6, cmap="viridis")
+        sc = plt.scatter(xy[:, 0], xy[:, 1], c=rows[:, 2], s=6, cmap="viridis")
         plt.colorbar(sc, label=f"overlap with frame {args.frame_idx}")
         plt.axis("equal")
         plt.xlabel("X [m]")

@@ -3,10 +3,16 @@
 TPU re-design of reference src/utils/com_overlap_yaw.py: for a query frame,
 every reference scan is transformed into the query frame, re-projected, and
 overlap = |{px : r_ref > 0 and |r_ref - r_cur| < 1 m}| / |{px : r_cur > 0}|
-(com_overlap_yaw.py:44-45). The reference loops frames in Python, one
-projection per iteration; here frames are batched on-device via vmap (the
-projection is the deterministic sort-based z-buffer from
-``geometry.projection``) while a thread pool streams scans from disk.
+(com_overlap_yaw.py:44-45).
+
+The reference loops frames in Python, one load + one projection per iteration
+— and its demo4 computes GT for frame 0 only. Full-sequence training GT needs
+all query frames, which under the naive per-query loop costs O(N^2) disk
+loads and O(N^2) host->device transfers. Here the whole sequence is loaded
+ONCE, kept resident on device, and (query, reference) pairs are scored in
+jitted vmapped chunks with on-device gathers — the per-pair cost is pure
+projection compute (the deterministic sort-free z-buffer from
+``geometry.projection``).
 """
 
 from __future__ import annotations
@@ -28,22 +34,147 @@ from overlapnet_tpu.geometry.projection import (
 from overlapnet_tpu.geometry.rotations import relative_yaw, yaw_to_bin
 
 
+def load_scans_padded(
+    scan_paths: Sequence[str],
+    max_points: int = DEFAULT_MAX_POINTS,
+    io_workers: int = 16,
+) -> np.ndarray:
+    """Threaded load of a whole sequence into one (N, max_points, 4) array."""
+
+    def load(path):
+        return pad_points(kitti.load_scan(path).astype(np.float32), max_points)
+
+    out = np.empty((len(scan_paths), max_points, 4), np.float32)
+    with ThreadPoolExecutor(max_workers=io_workers) as pool:
+        for i, pts in enumerate(pool.map(load, scan_paths)):
+            out[i] = pts
+    return out
+
+
 @jax.jit
-def _overlap_chunk(
-    ref_points: jax.Array,  # (K, N, 4) reference scans, padded
-    transforms: jax.Array,  # (K, 4, 4) inv(pose_cur) @ pose_ref
-    current_range: jax.Array,  # (H, W)
-    valid_num: jax.Array,  # () number of valid pixels in the query projection
+def _ranges_chunk(points: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(K, P, 4) scans -> ((K, H, W) range images, (K,) valid-pixel counts)."""
+
+    def one(pts):
+        rng_img, _, _, _ = range_projection(pts)
+        return rng_img, jnp.sum(rng_img > 0).astype(jnp.float32)
+
+    return jax.vmap(one)(points)
+
+
+@jax.jit
+def _pair_chunk(
+    pts_all: jax.Array,     # (N, P, 4) resident scans
+    ranges_all: jax.Array,  # (N, H, W) per-frame range images
+    valid_all: jax.Array,   # (N,) valid-pixel counts
+    q_ids: jax.Array,       # (K,) query frame ids
+    r_ids: jax.Array,       # (K,) reference frame ids
+    transforms: jax.Array,  # (K, 4, 4) inv(pose_q) @ pose_r
 ) -> jax.Array:
-    """Overlap of K reference scans against one query range image."""
+    """Overlap of K (query, reference) pairs, fully on device."""
 
-    def one(points, T):
-        pts = transform_points(points, T)
+    def one(qi, ri, T):
+        pts = transform_points(pts_all[ri], T)
         ref_range, _, _, _ = range_projection(pts)
-        close = (ref_range > 0) & (jnp.abs(ref_range - current_range) < 1.0)
-        return jnp.sum(close) / valid_num
+        cur = ranges_all[qi]
+        close = (ref_range > 0) & (jnp.abs(ref_range - cur) < 1.0)
+        return jnp.sum(close) / valid_all[qi]
 
-    return jax.vmap(one)(ref_points, transforms)
+    return jax.vmap(one)(q_ids, r_ids, transforms)
+
+
+def _relative_yaws(poses_q: np.ndarray, poses_r: np.ndarray) -> np.ndarray:
+    """Vectorized yaw of inv(pose_q) @ pose_r for stacked (K, 4, 4) poses.
+
+    Same formula as rotations.euler_angles_from_rotation_matrix's main branch
+    (reference utils.py:189-214); pairs in the gimbal-lock branch
+    (|R20| ~= 1, pitch +-90 deg — never reached by ground vehicles) fall back
+    to the exact scalar path.
+    """
+    R = np.einsum("kji,kjl->kil", poses_q[:, :3, :3], poses_r[:, :3, :3])
+    r20 = np.clip(R[:, 2, 0], -1.0, 1.0)
+    theta = -np.arcsin(r20)
+    cos_t = np.cos(theta)
+    safe = np.abs(r20) < 1.0 - 1e-8
+    yaw = np.where(
+        safe, np.arctan2(R[:, 1, 0], R[:, 0, 0]), 0.0
+    )
+    if not safe.all():
+        for k in np.flatnonzero(~safe):
+            yaw[k] = relative_yaw(poses_q[k], poses_r[k])
+    return yaw
+
+
+def com_overlap_yaw_all(
+    scan_paths: Sequence[str],
+    poses: np.ndarray,
+    query_idxs: Sequence[int] | None = None,
+    leg_output_width: int = 360,
+    chunk_size: int = 32,
+    max_points: int = DEFAULT_MAX_POINTS,
+    io_workers: int = 16,
+    points: np.ndarray | None = None,
+) -> np.ndarray:
+    """Ground-truth overlap and yaw for queries x all frames.
+
+    Args:
+      query_idxs: query frame ids (default: every frame — the full N x N GT
+        table the training pipeline needs).
+      points: optional pre-loaded (N, P, 4) padded scans (skips disk).
+
+    Returns an (len(query_idxs) * n, 4) array with rows
+    [query_idx, reference_idx, overlap, yaw_bin] — the same row contract as
+    reference com_overlap_yaw.py:10-68, concatenated over queries.
+    """
+    n = len(scan_paths)
+    if query_idxs is None:
+        query_idxs = range(n)
+    query_idxs = np.asarray(list(query_idxs), np.int32)
+
+    if points is None:
+        points = load_scans_padded(scan_paths, max_points, io_workers)
+    pts_dev = jnp.asarray(points)
+
+    # per-frame range images + valid counts, batched
+    ranges = []
+    valids = []
+    for s in range(0, n, chunk_size):
+        r, v = _ranges_chunk(pts_dev[s : s + chunk_size])
+        ranges.append(r)
+        valids.append(v)
+    ranges_dev = jnp.concatenate(ranges)
+    valid_dev = jnp.concatenate(valids)
+
+    # (query, reference) pair chunks; pad the tail so shapes stay static
+    q_ids = np.repeat(query_idxs, n).astype(np.int32)
+    r_ids = np.tile(np.arange(n, dtype=np.int32), len(query_idxs))
+    n_pairs = len(q_ids)
+    inv_poses = np.linalg.inv(poses)
+    overlaps = np.empty(n_pairs, np.float64)
+    for s in range(0, n_pairs, chunk_size):
+        qc = q_ids[s : s + chunk_size]
+        rc = r_ids[s : s + chunk_size]
+        pad = chunk_size - len(qc)
+        if pad:
+            qc = np.concatenate([qc, np.zeros(pad, np.int32)])
+            rc = np.concatenate([rc, np.zeros(pad, np.int32)])
+        T = (inv_poses[qc] @ poses[rc]).astype(np.float32)
+        vals = _pair_chunk(
+            pts_dev, ranges_dev, valid_dev,
+            jnp.asarray(qc), jnp.asarray(rc), jnp.asarray(T),
+        )
+        overlaps[s : s + chunk_size] = np.asarray(vals)[: chunk_size - pad]
+
+    yaws = _relative_yaws(poses[q_ids], poses[r_ids])
+    half = leg_output_width // 2
+    yaw_bins = np.trunc(-(yaws / np.pi) * half + half)
+
+    gt = np.zeros((n_pairs, 4))
+    gt[:, 0] = q_ids
+    gt[:, 1] = r_ids
+    gt[:, 2] = overlaps
+    gt[:, 3] = yaw_bins
+    return gt
 
 
 def com_overlap_yaw(
@@ -51,65 +182,34 @@ def com_overlap_yaw(
     poses: np.ndarray,
     frame_idx: int,
     leg_output_width: int = 360,
-    chunk_size: int = 8,
+    chunk_size: int = 32,
     max_points: int = DEFAULT_MAX_POINTS,
     io_workers: int = 8,
+    points: np.ndarray | None = None,
 ) -> np.ndarray:
     """Ground truth overlap and yaw of one frame vs. all frames.
 
     Same contract as reference com_overlap_yaw.py:10-68. Returns an (n, 4)
     array with rows [current_frame_idx, reference_frame_idx, overlap, yaw_bin].
+    The scalar ``yaw_to_bin`` is kept for the single-query path so the
+    reference's exact int() truncation applies; the vectorized path in
+    :func:`com_overlap_yaw_all` uses np.trunc (bit-identical for the
+    attainable range).
     """
-    n = len(scan_paths)
-    current_points = pad_points(
-        kitti.load_scan(scan_paths[frame_idx]).astype(np.float32), max_points
+    gt = com_overlap_yaw_all(
+        scan_paths,
+        poses,
+        query_idxs=[frame_idx],
+        leg_output_width=leg_output_width,
+        chunk_size=chunk_size,
+        max_points=max_points,
+        io_workers=io_workers,
+        points=points,
     )
-    current_range, _, _, _ = range_projection(jnp.asarray(current_points))
-    valid_num = jnp.sum(current_range > 0).astype(jnp.float32)
-    current_pose = poses[frame_idx]
-    inv_current = np.linalg.inv(current_pose)
-
-    def load(i):
-        return pad_points(kitti.load_scan(scan_paths[i]).astype(np.float32), max_points)
-
-    overlaps = np.zeros(n, dtype=np.float64)
-    with ThreadPoolExecutor(max_workers=io_workers) as pool:
-        loaded = pool.map(load, range(n))
-        chunk_pts, chunk_T, chunk_ids = [], [], []
-
-        def flush():
-            if not chunk_ids:
-                return
-            vals = _overlap_chunk(
-                jnp.asarray(np.stack(chunk_pts)),
-                jnp.asarray(np.stack(chunk_T, dtype=np.float32)),
-                current_range,
-                valid_num,
-            )
-            overlaps[np.array(chunk_ids)] = np.asarray(vals)
-            chunk_pts.clear()
-            chunk_T.clear()
-            chunk_ids.clear()
-
-        for i, pts in enumerate(loaded):
-            chunk_pts.append(pts)
-            chunk_T.append(inv_current @ poses[i])
-            chunk_ids.append(i)
-            if len(chunk_ids) == chunk_size:
-                flush()
-        flush()
-
-    yaw_bins = np.array(
-        [
-            yaw_to_bin(relative_yaw(current_pose, poses[i]), leg_output_width)
-            for i in range(n)
-        ],
-        dtype=np.float64,
-    )
-
-    gt = np.zeros((n, 4))
-    gt[:, 0] = frame_idx
-    gt[:, 1] = np.arange(n)
-    gt[:, 2] = overlaps
-    gt[:, 3] = yaw_bins
+    # re-derive bins through the scalar reference formula (exactness guard)
+    for i in range(len(gt)):
+        gt[i, 3] = yaw_to_bin(
+            relative_yaw(poses[frame_idx], poses[int(gt[i, 1])]),
+            leg_output_width,
+        )
     return gt

@@ -67,14 +67,15 @@ def build_gt(
 
     The reference's demo4 computes GT for frame 0 only
     (demo4_gen_gt_files.py:66-74); training data needs every query frame, so
-    this loops the (device-batched) com_overlap_yaw over queries."""
+    this runs the all-pairs resident-points com_overlap_yaw_all (scans loaded
+    once, pairs scored in on-device chunks)."""
     from overlapnet_tpu.data import (
         normalize_overlap_distribution,
         save_gt_files,
         split_train_val,
     )
     from overlapnet_tpu.geometry import kitti
-    from overlapnet_tpu.geometry.overlap import com_overlap_yaw
+    from overlapnet_tpu.geometry.overlap import com_overlap_yaw_all
 
     gt_dir = os.path.join(work_dir, SEQ, "ground_truth")
     full_npz = os.path.join(gt_dir, "ground_truth_overlap_yaw.npz")
@@ -88,11 +89,16 @@ def build_gt(
         }
 
     scan_paths = kitti.load_files(files["scan_folder"])
-    rows = [
-        com_overlap_yaw(scan_paths, poses, q, leg_output_width=leg_output_width)
-        for q in range(0, len(scan_paths), query_stride)
-    ]
-    gt = np.concatenate(rows)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    gt = com_overlap_yaw_all(
+        scan_paths, poses,
+        query_idxs=range(0, len(scan_paths), query_stride),
+        leg_output_width=leg_output_width,
+    )
+    dt = _time.perf_counter() - t0
+    print(f"GT: {len(gt)} pairs in {dt:.1f}s ({len(gt) / dt:.1f} pairs/s)")
     balanced = normalize_overlap_distribution(gt, rng=np.random.default_rng(seed))
     train, val = split_train_val(balanced, rng=np.random.default_rng(seed))
     out = save_gt_files(

@@ -100,3 +100,27 @@ def test_sim_gt_overlap_structure(small_world, tmp_path):
     assert ov[2] < ov[4]  # opposite corner is worse than the revisit
     # yaw bins: same heading at the revisit -> bin == center (zero yaw)
     assert int(gt[4, 3]) == 180
+
+
+def test_com_overlap_yaw_all_matches_per_query(small_world, tmp_path):
+    """The resident-points all-pairs GT path equals per-query calls row for
+    row (overlaps bit-identical, yaw bins through the vectorized trunc equal
+    the scalar reference formula)."""
+    from overlapnet_tpu.geometry import kitti
+    from overlapnet_tpu.geometry.overlap import com_overlap_yaw, com_overlap_yaw_all
+
+    poses = loop_trajectory(6, side=40.0, laps=2.0)
+    files = write_kitti_sequence(str(tmp_path), small_world, poses,
+                                 max_points=15_000)
+    scan_paths = kitti.load_files(files["scan_folder"])
+    velo_poses = kitti.poses_cam_to_velo(
+        kitti.load_poses(files["poses_file"]), np.eye(4)
+    )
+    gt_all = com_overlap_yaw_all(scan_paths, velo_poses, max_points=32_768,
+                                 chunk_size=5)  # non-divisor: exercises tail pad
+    assert gt_all.shape == (36, 4)
+    for q in range(6):
+        gt_q = com_overlap_yaw(scan_paths, velo_poses, frame_idx=q,
+                               max_points=32_768)
+        rows = gt_all[gt_all[:, 0] == q]
+        np.testing.assert_array_equal(rows, gt_q)
