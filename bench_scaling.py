@@ -76,7 +76,6 @@ def main() -> int:
 
     cfg = OverlapNetConfig()
     cfg.model.input_width = args.width
-    cfg.model.leg_output_width = {900: 360}.get(args.width, args.width // 4)
     w = leg_output_width(cfg.model)
     head = make_head_apply(cfg.model)
     state, _ = create_train_state(cfg, steps_per_epoch=4, rng=0)

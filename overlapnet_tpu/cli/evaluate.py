@@ -96,17 +96,25 @@ def evaluate(cfg, params=None, pack_dir: str = "", max_pairs: int | None = None)
             )
         fvs[s : s + k] = np.asarray(leg_apply(params, imgs))[:k]
 
-    # Head pass over all pairs on cached embeddings (testing.py:269-272).
+    # Head pass over all pairs on cached embeddings (testing.py:269-272),
+    # batched through the descriptor-reuse generator (reference
+    # ImagePairOverlapSequenceFeatureVolume.py:36-47).
+    from overlapnet_tpu.data.dataset import FeatureVolumePairs
+
     db = DescriptorDB(
         make_head_apply(cfg.model), params, capacity=len(scans), width=w
     )
-    db._fv = fvs
-    db._n = len(scans)
+    db.load(fvs)
+    fvp = FeatureVolumePairs(fvs, idx1, idx2)
     pred_overlap = np.zeros(limit, np.float32)
     pred_yaw = np.zeros(limit, np.int64)
-    for s in range(0, limit, 4096):
-        sl = slice(s, min(s + 4096, limit))
-        pred_overlap[sl], pred_yaw[sl], _ = db.score_pairs(idx1[sl], idx2[sl])
+    s = 0
+    for batch in fvp.batches(4096):
+        k = batch["fa"].shape[0]
+        pred_overlap[s : s + k], pred_yaw[s : s + k], _ = db.score_volumes(
+            batch["fa"], batch["fb"]
+        )
+        s += k
 
     metrics = overlap_metrics(pred_overlap, pairs.overlap)
     ym = yaw_metrics(pred_yaw, pairs.orientation, pairs.overlap, w)

@@ -53,9 +53,24 @@ def main(argv: list[str]) -> int:
         default="",
         help="capture a jax.profiler device trace of epoch 0 into this dir",
     )
+    ap.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="enable jax_debug_nans (op-level NaN detection; slow)",
+    )
+    ap.add_argument(
+        "--tensorboard",
+        action="store_true",
+        help="mirror metrics to TensorBoard event files under the exp dir",
+    )
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.debug_nans:
+        from overlapnet_tpu.core.jax_setup import enable_debug_nans
+
+        enable_debug_nans()
 
     from overlapnet_tpu.parallel.mesh import make_mesh, shard_batch
     from overlapnet_tpu.train.checkpoint import (
@@ -69,7 +84,7 @@ def main(argv: list[str]) -> int:
     cfg = load_config(args.config)
     exp_dir = os.path.join(cfg.experiment.experiments_path, cfg.experiment.testname)
     logger = setup_logging(exp_dir)
-    writer = MetricWriter(exp_dir)
+    writer = MetricWriter(exp_dir, tensorboard=True if args.tensorboard else None)
     logger.info("Using configuration file %s", args.config)
 
     train_npz, val_npz = npz_selection(cfg)

@@ -74,7 +74,6 @@ class ModelConfig:
     # (H, W) of one input range image; channel count comes from ChannelConfig.
     input_height: int = 64
     input_width: int = 900
-    leg_output_width: int = 360
     strides_layer1: tuple[int, int] = (2, 2)
     additional_unsymmetric_layer3a: bool = True
     # Width of the 1xS / Sx1 convs in the overlap head
@@ -216,13 +215,26 @@ def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
     shape = model_raw.get("inputShape")
     if shape:
         m.input_height, m.input_width = int(shape[0]), int(shape[1])
-    m.leg_output_width = int(model_raw.get("leg_output_width", m.leg_output_width))
     strides = model_raw.get("strides_layer1")
     if strides:
         m.strides_layer1 = (int(strides[0]), int(strides[1]))
     m.additional_unsymmetric_layer3a = bool(
         model_raw.get("additional_unsymmetric_layer3a", m.additional_unsymmetric_layer3a)
     )
+    if "leg_output_width" in model_raw:
+        # The reference YAML declares this (network.yml:77) but the true value
+        # is a function of the conv stack; validate instead of storing a knob
+        # nothing reads.
+        from overlapnet_tpu.models.legs import leg_output_width as _derived_width
+
+        declared = int(model_raw["leg_output_width"])
+        derived = _derived_width(m)
+        if declared != derived:
+            raise ValueError(
+                f"config leg_output_width={declared} does not match the width "
+                f"derived from the conv stack ({derived}) for input_width="
+                f"{m.input_width}"
+            )
     m.conv1_network_head_conv1size = int(
         model_raw.get("conv1NetworkHead_conv1size", m.conv1_network_head_conv1size)
     )

@@ -26,3 +26,13 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     return cache_dir
+
+
+def enable_debug_nans(on: bool = True) -> None:
+    """Turn on jax_debug_nans: every jitted computation re-runs op-by-op when
+    a NaN appears and raises at the producing primitive — the framework's
+    NaN sanitizer (SURVEY.md §5 'race detection / sanitizers'; the reference
+    has no equivalent). Expensive; debug runs only."""
+    import jax
+
+    jax.config.update("jax_debug_nans", bool(on))

@@ -25,10 +25,13 @@ _lib_lock = threading.Lock()
 def build(force: bool = False) -> str:
     """Compile the native library (idempotent); returns its path."""
     if force or not os.path.exists(_LIB_PATH):
+        # On-demand build runs on the machine that will use the library, so
+        # native-arch tuning is safe here (the Makefile default is portable).
         subprocess.run(
             ["make", "-C", os.path.abspath(_NATIVE_DIR)],
             check=True,
             capture_output=True,
+            env={**os.environ, "NATIVE_ARCH": "1"},
         )
     return _LIB_PATH
 

@@ -75,6 +75,19 @@ class DescriptorDB:
         self._n += k
         return first
 
+    def load(self, fv: np.ndarray) -> int:
+        """Replace the whole store with ``fv`` (N, W', C) — the supported
+        bulk-load API for evaluation and cache restore; returns N."""
+        fv = np.asarray(fv, np.float32)
+        if fv.shape[0] > self._fv.shape[0]:
+            raise ValueError(
+                f"bulk load of {fv.shape[0]} rows exceeds capacity "
+                f"{self._fv.shape[0]}"
+            )
+        self._fv[: fv.shape[0]] = fv
+        self._n = int(fv.shape[0])
+        return self._n
+
     def save(self, path: str) -> None:
         """Persist the live embeddings to ``path`` (.npz). The serving-side
         checkpoint: a crashed LCD session resumes by re-loading this instead
@@ -83,14 +96,7 @@ class DescriptorDB:
 
     def restore(self, path: str) -> int:
         """Load embeddings saved by :meth:`save`; returns the row count."""
-        fv = np.load(path)["feature_volumes"]
-        if fv.shape[0] > self._fv.shape[0]:
-            raise ValueError(
-                f"checkpoint has {fv.shape[0]} rows > capacity {self._fv.shape[0]}"
-            )
-        self._fv[: fv.shape[0]] = fv
-        self._n = int(fv.shape[0])
-        return self._n
+        return self.load(np.load(path)["feature_volumes"])
 
     def _scorer(self, bucket: int) -> Callable:
         if bucket not in self._jit_cache:
@@ -111,26 +117,35 @@ class DescriptorDB:
             self._jit_cache[bucket] = score
         return self._jit_cache[bucket]
 
-    def score_pairs(
-        self, idx1: np.ndarray, idx2: np.ndarray
+    def score_volumes(
+        self, fa: np.ndarray, fb: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Score stored pairs; returns (overlap (n,), yaw_bin_argmax (n,),
-        yaw_confidence (n,)).
+        """Score explicit (n, W', C) left/right feature-volume batches;
+        returns (overlap (n,), yaw_bin_argmax (n,), yaw_confidence (n,)).
 
-        Pads to a power-of-two bucket so the jit cache stays small.
-        """
-        idx1 = np.asarray(idx1, np.int64)
-        idx2 = np.asarray(idx2, np.int64)
-        n = len(idx1)
+        Pads to a power-of-two bucket so the jit cache stays small. This is
+        the raw head entry point used with external volume stores (e.g. the
+        evaluator's ``FeatureVolumePairs`` generator)."""
+        n = fa.shape[0]
         if n == 0:
             return (np.zeros(0, np.float32), np.zeros(0, np.int64),
                     np.zeros(0, np.float32))
         b = _bucket(n)
-        pad = b - n
-        fa = self._fv[np.concatenate([idx1, np.zeros(pad, np.int64)])]
-        fb = self._fv[np.concatenate([idx2, np.zeros(pad, np.int64)])]
+        if b != n:
+            pad = ((0, b - n),) + ((0, 0),) * (fa.ndim - 1)
+            fa = np.pad(fa, pad)
+            fb = np.pad(fb, pad)
         overlap, yaw, conf = self._scorer(b)(self._params, fa, fb)
         return np.asarray(overlap)[:n], np.asarray(yaw)[:n], np.asarray(conf)[:n]
+
+    def score_pairs(
+        self, idx1: np.ndarray, idx2: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Score stored pairs; returns (overlap (n,), yaw_bin_argmax (n,),
+        yaw_confidence (n,))."""
+        idx1 = np.asarray(idx1, np.int64)
+        idx2 = np.asarray(idx2, np.int64)
+        return self.score_volumes(self._fv[idx1], self._fv[idx2])
 
     def query(
         self, query_fv: np.ndarray, candidate_idxs: np.ndarray

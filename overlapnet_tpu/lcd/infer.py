@@ -177,13 +177,11 @@ class Infer:
     def restore_cache(self, path: str) -> int:
         """Load a cache saved by :meth:`save_cache`; returns #embeddings."""
         data = np.load(path)
-        fv = data["feature_volumes"]
-        self._db._fv[: fv.shape[0]] = fv
-        self._db._n = int(fv.shape[0])
+        n = self._db.load(data["feature_volumes"])
         self._frame_rows = {
             int(i): int(r) for i, r in zip(data["frame_ids"], data["frame_rows"])
         }
-        return int(fv.shape[0])
+        return n
 
     def infer_multiple_vs_multiple(
         self,

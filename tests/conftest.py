@@ -69,4 +69,4 @@ def small_model_cfg():
     leg width 90) to keep CPU tests fast."""
     from overlapnet_tpu.core.config import ModelConfig
 
-    return ModelConfig(input_width=360, leg_output_width=90)
+    return ModelConfig(input_width=360)

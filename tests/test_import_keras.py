@@ -49,7 +49,7 @@ def make_keras_file(path, params):
 
 @pytest.fixture(scope="module")
 def model_setup():
-    cfg = ModelConfig(input_width=360, leg_output_width=90)
+    cfg = ModelConfig(input_width=360)
     return cfg, init_params(cfg, num_channels=4, rng=0)
 
 

@@ -33,7 +33,7 @@ def head_setup(small_model_cfg_module):
 
 @pytest.fixture(scope="module")
 def small_model_cfg_module():
-    return ModelConfig(input_width=360, leg_output_width=90)
+    return ModelConfig(input_width=360)
 
 
 def test_descriptor_db_matches_direct_head(head_setup):
@@ -192,7 +192,7 @@ def infer_tree(tmp_path):
 def infer_cfg(infer_tree):
     return OverlapNetConfig(
         channels=ChannelConfig(),
-        model=ModelConfig(input_width=360, leg_output_width=90),
+        model=ModelConfig(input_width=360),
         train=TrainConfig(batch_size=2),
         data=DataConfig(data_root_folder=infer_tree, infer_seqs="07"),
         experiment=ExperimentConfig(pretrained_weightsfilename=""),

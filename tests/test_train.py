@@ -21,7 +21,6 @@ from overlapnet_tpu.train.schedule import reference_lr_schedule
 def small_cfg(batch_size=4):
     cfg = OverlapNetConfig()
     cfg.model.input_width = 360
-    cfg.model.leg_output_width = 90
     cfg.train.batch_size = batch_size
     return cfg
 
