@@ -101,10 +101,11 @@ def evaluate(cfg, params=None, pack_dir: str = "", max_pairs: int | None = None)
     # ImagePairOverlapSequenceFeatureVolume.py:36-47).
     from overlapnet_tpu.data.dataset import FeatureVolumePairs
 
+    # score_volumes is params-only — no need to copy fvs into the DB store
+    # (capacity=1 keeps the internal buffer negligible).
     db = DescriptorDB(
-        make_head_apply(cfg.model), params, capacity=len(scans), width=w
+        make_head_apply(cfg.model), params, capacity=1, width=w
     )
-    db.load(fvs)
     fvp = FeatureVolumePairs(fvs, idx1, idx2)
     pred_overlap = np.zeros(limit, np.float32)
     pred_yaw = np.zeros(limit, np.int64)

@@ -224,8 +224,9 @@ def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
     if "leg_output_width" in model_raw:
         # The reference YAML declares this (network.yml:77) but the true value
         # is a function of the conv stack; validate instead of storing a knob
-        # nothing reads.
-        from overlapnet_tpu.models.legs import leg_output_width as _derived_width
+        # nothing reads. (core.leg_specs is jax-free, so plain config parsing
+        # stays lightweight.)
+        from overlapnet_tpu.core.leg_specs import leg_output_width as _derived_width
 
         declared = int(model_raw["leg_output_width"])
         derived = _derived_width(m)

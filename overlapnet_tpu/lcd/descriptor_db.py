@@ -84,6 +84,12 @@ class DescriptorDB:
                 f"bulk load of {fv.shape[0]} rows exceeds capacity "
                 f"{self._fv.shape[0]}"
             )
+        if fv.shape[1:] != self._fv.shape[1:]:
+            raise ValueError(
+                f"embedding shape {fv.shape[1:]} does not match the DB's "
+                f"(W', C) = {self._fv.shape[1:]} — was this cache built with "
+                "a different input_width/model?"
+            )
         self._fv[: fv.shape[0]] = fv
         self._n = int(fv.shape[0])
         return self._n

@@ -21,52 +21,11 @@ import jax
 import jax.numpy as jnp
 
 from overlapnet_tpu.core.config import ModelConfig
-
-
-def _conv_specs(cfg: ModelConfig) -> list[tuple[str, int, tuple[int, int], tuple[int, int]]]:
-    """(name, features, kernel hxw, strides) for the leg stack; shape table in
-    SURVEY.md §2 (reference generateNet.py:161-217)."""
-    if cfg.small_net:
-        return [("s_conv1", 2, (5, 15), (5, 5))]
-    specs = [
-        ("s_conv1", 16, (5, 15), tuple(cfg.strides_layer1)),
-        ("s_conv2", 32, (3, 15), (2, 1)),
-        ("s_conv3", 64, (3, 15), (2, 1)),
-    ]
-    if cfg.additional_unsymmetric_layer3a:
-        specs.append(("s_conv3a", 64, (3, 12), (2, 1)))
-    specs += [
-        ("s_conv4", 128, (2, 9), (2, 1)),
-        ("s_conv5", 128, (1, 9), (1, 1)),
-        ("s_conv6", 128, (1, 9), (1, 1)),
-        ("s_conv7", 128, (1, 9), (1, 1)),
-        ("s_conv8", 128, (1, 7), (1, 1)),
-        ("s_conv9", 128, (1, 5), (1, 1)),
-        ("s_conv10", 128, (1, 3), (1, 1)),
-    ]
-    return specs
-
-
-def leg_output_width(cfg: ModelConfig) -> int:
-    """Static leg output width for an input of width cfg.input_width."""
-    w = cfg.input_width
-    h = cfg.input_height
-    for _, _, (kh, kw), (sh, sw) in _conv_specs(cfg):
-        w = (w - kw) // sw + 1
-        h = (h - kh) // sh + 1
-        if w <= 0 or h <= 0:
-            raise ValueError(
-                f"Leg conv stack collapses input {cfg.input_height}x"
-                f"{cfg.input_width} to nonpositive size at some layer"
-            )
-    return w
-
-
-def leg_output_height(cfg: ModelConfig) -> int:
-    h = cfg.input_height
-    for _, _, (kh, _), (sh, _) in _conv_specs(cfg):
-        h = (h - kh) // sh + 1
-    return h
+from overlapnet_tpu.core.leg_specs import (  # noqa: F401  (re-exported)
+    conv_specs as _conv_specs,
+    leg_output_height,
+    leg_output_width,
+)
 
 
 class SiameseLegs(nn.Module):

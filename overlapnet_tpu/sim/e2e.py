@@ -24,11 +24,26 @@ import numpy as np
 SEQ = "00"
 
 
+def _stamp_matches(path: str, params: dict) -> bool:
+    try:
+        with open(path) as f:
+            return json.load(f) == params
+    except (OSError, ValueError):
+        return False
+
+
+def _write_stamp(path: str, params: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(params, f)
+
+
 def generate_sequence(work_dir: str, n_frames: int, seed: int = 0, laps: float = 2.0):
     """Simulated KITTI-layout sequence + preprocessed channel images.
 
-    Returns (files dict, sensor poses (n, 4, 4)). If the sequence already
-    exists in ``work_dir`` (same frame count), it is reused as-is."""
+    Returns (files dict, sensor poses (n, 4, 4)). The sequence is reused only
+    if a params stamp matches (frames, seed, laps) — changing any of them
+    regenerates instead of silently serving stale data, and drops any GT
+    derived from the old sequence."""
     from overlapnet_tpu.geometry.gen_data import gen_depth_data, gen_normal_data
     from overlapnet_tpu.sim.world import loop_trajectory, make_world, write_kitti_sequence
 
@@ -40,18 +55,24 @@ def generate_sequence(work_dir: str, n_frames: int, seed: int = 0, laps: float =
         "covariance_file": os.path.join(seq_dir, "covariance.txt"),
     }
     poses = loop_trajectory(n_frames, laps=laps)
-    if (
-        os.path.isdir(os.path.join(seq_dir, "depth"))
-        and len(os.listdir(os.path.join(seq_dir, "depth"))) == n_frames
-    ):
+    stamp = os.path.join(seq_dir, "sequence_params.json")
+    params = {"n_frames": n_frames, "seed": seed, "laps": laps}
+    if _stamp_matches(stamp, params) and os.path.isdir(os.path.join(seq_dir, "depth")):
         print(f"reusing existing sequence in {seq_dir}")
         return files, poses
 
+    # stale GT belongs to the old sequence — remove it with the scans
+    gt_dir = os.path.join(seq_dir, "ground_truth")
+    if os.path.isdir(gt_dir):
+        import shutil
+
+        shutil.rmtree(gt_dir)
     rng = np.random.default_rng(seed)
     world = make_world(rng)
     write_kitti_sequence(seq_dir, world, poses, seed=seed)
     gen_depth_data(files["scan_folder"], seq_dir)
     gen_normal_data(files["scan_folder"], seq_dir)
+    _write_stamp(stamp, params)
     return files, poses
 
 
@@ -79,7 +100,13 @@ def build_gt(
 
     gt_dir = os.path.join(work_dir, SEQ, "ground_truth")
     full_npz = os.path.join(gt_dir, "ground_truth_overlap_yaw.npz")
-    if os.path.exists(full_npz):
+    gt_stamp = os.path.join(gt_dir, "gt_params.json")
+    gt_params = {
+        "query_stride": query_stride,
+        "leg_output_width": leg_output_width,
+        "seed": seed,
+    }
+    if os.path.exists(full_npz) and _stamp_matches(gt_stamp, gt_params):
         print(f"reusing existing GT in {gt_dir}")
         return {
             "train_set": os.path.join(gt_dir, "train_set.npz"),
@@ -104,6 +131,7 @@ def build_gt(
     out = save_gt_files(
         os.path.join(work_dir, SEQ, "ground_truth"), SEQ, gt, train, val
     )
+    _write_stamp(gt_stamp, gt_params)
     out["gt_table"] = gt
     return out
 
