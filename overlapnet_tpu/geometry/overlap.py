@@ -110,7 +110,7 @@ def com_overlap_yaw_all(
     poses: np.ndarray,
     query_idxs: Sequence[int] | None = None,
     leg_output_width: int = 360,
-    chunk_size: int = 32,
+    chunk_size: int = 256,
     max_points: int = DEFAULT_MAX_POINTS,
     io_workers: int = 16,
     points: np.ndarray | None = None,
@@ -125,6 +125,12 @@ def com_overlap_yaw_all(
     Returns an (len(query_idxs) * n, 4) array with rows
     [query_idx, reference_idx, overlap, yaw_bin] — the same row contract as
     reference com_overlap_yaw.py:10-68, concatenated over queries.
+
+    Dispatch is fully asynchronous: every chunk is enqueued before any result
+    is fetched, so the host never blocks inside the loop (a per-chunk
+    ``np.asarray`` sync on a remote-TPU link costs ~a round trip per chunk —
+    at KITTI scale, minutes of pure stall). Tails are padded so exactly one
+    program is compiled for each of the two kernels.
     """
     n = len(scan_paths)
     if query_idxs is None:
@@ -135,22 +141,29 @@ def com_overlap_yaw_all(
         points = load_scans_padded(scan_paths, max_points, io_workers)
     pts_dev = jnp.asarray(points)
 
-    # per-frame range images + valid counts, batched
+    # per-frame range images + valid counts, batched; tail padded with zero
+    # scans (all-(-1) images, valid count 0 — sliced off below)
+    range_chunk = min(chunk_size, n)
     ranges = []
     valids = []
-    for s in range(0, n, chunk_size):
-        r, v = _ranges_chunk(pts_dev[s : s + chunk_size])
+    for s in range(0, n, range_chunk):
+        block = pts_dev[s : s + range_chunk]
+        if block.shape[0] < range_chunk:
+            block = jnp.concatenate(
+                [block, jnp.zeros((range_chunk - block.shape[0],) + block.shape[1:], block.dtype)]
+            )
+        r, v = _ranges_chunk(block)
         ranges.append(r)
         valids.append(v)
-    ranges_dev = jnp.concatenate(ranges)
-    valid_dev = jnp.concatenate(valids)
+    ranges_dev = jnp.concatenate(ranges)[:n]
+    valid_dev = jnp.concatenate(valids)[:n]
 
     # (query, reference) pair chunks; pad the tail so shapes stay static
     q_ids = np.repeat(query_idxs, n).astype(np.int32)
     r_ids = np.tile(np.arange(n, dtype=np.int32), len(query_idxs))
     n_pairs = len(q_ids)
     inv_poses = np.linalg.inv(poses)
-    overlaps = np.empty(n_pairs, np.float64)
+    chunks = []
     for s in range(0, n_pairs, chunk_size):
         qc = q_ids[s : s + chunk_size]
         rc = r_ids[s : s + chunk_size]
@@ -159,11 +172,12 @@ def com_overlap_yaw_all(
             qc = np.concatenate([qc, np.zeros(pad, np.int32)])
             rc = np.concatenate([rc, np.zeros(pad, np.int32)])
         T = (inv_poses[qc] @ poses[rc]).astype(np.float32)
-        vals = _pair_chunk(
+        chunks.append(_pair_chunk(
             pts_dev, ranges_dev, valid_dev,
             jnp.asarray(qc), jnp.asarray(rc), jnp.asarray(T),
-        )
-        overlaps[s : s + chunk_size] = np.asarray(vals)[: chunk_size - pad]
+        ))
+    # single sync: fetch all chunk results at once
+    overlaps = np.concatenate(jax.device_get(chunks))[:n_pairs]
 
     yaws = _relative_yaws(poses[q_ids], poses[r_ids])
     half = leg_output_width // 2

@@ -180,11 +180,17 @@ class DescriptorDB:
 class ShardedDescriptorDB:
     """Descriptor DB sharded over a mesh axis (default 'data').
 
-    The (capacity, W', C) store lives row-sharded across devices; queries
-    broadcast the query embedding, each device scores its rows, and results
-    come back row-sharded (XLA handles layout; the host sees one logical
-    array). For a single host this overlaps the head compute across all local
-    devices; across hosts the same code scales via jax.distributed.
+    Rows are **interleaved** across devices — global row ``i`` lives on
+    device ``i % D`` at local slot ``i // D`` — so the live prefix of the map
+    is always balanced over the mesh and queries can score just the live
+    slots (no resharding, no O(capacity) work). The store is a
+    (D, slots, W', C) device array sharded on the device axis; queries
+    broadcast the query embedding, every device scores its slots, and the
+    global best-k is an on-device ``lax.top_k`` whose (k,)-sized results are
+    the only device->host transfer (SURVEY.md §5: "global top-k via
+    psum/argmax reduction"). For a single host this overlaps the head compute
+    across all local devices; across hosts the same code scales via
+    jax.distributed.
     """
 
     def __init__(
@@ -200,68 +206,154 @@ class ShardedDescriptorDB:
         self._head = head_apply
         self._mesh = mesh
         self._axis = axis
-        n_dev = mesh.shape[axis]
-        capacity = ((capacity + n_dev - 1) // n_dev) * n_dev
-        self._row_sharding = NamedSharding(mesh, P(axis))
+        self._n_dev = d = mesh.shape[axis]
+        self._slots_cap = (capacity + d - 1) // d
+        self._shard = NamedSharding(mesh, P(axis))
         self._repl = NamedSharding(mesh, P())
         self._fv = jax.device_put(
-            jnp.zeros((capacity, width, channels), jnp.float32),
-            self._row_sharding,
+            jnp.zeros((d, self._slots_cap, width, channels), jnp.float32),
+            self._shard,
         )
         self._params = jax.device_put(params, self._repl)
         self._n = 0
-
-        @jax.jit
-        def _insert(fv_store, new_fv, at):
-            return jax.lax.dynamic_update_slice(
-                fv_store, new_fv, (at, 0, 0)
-            )
-
-        self._insert = _insert
-
-        def _query(params, fv_store, query_fv, valid_mask):
-            fb = jnp.broadcast_to(query_fv[None], fv_store.shape)
-            overlap, logits = self._head(params, fv_store, fb)
-            overlap = jnp.where(valid_mask, jnp.reshape(overlap, (-1,)), -1.0)
-            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
-            return overlap, jnp.argmax(logits, axis=-1), conf
-
-        self._query = jax.jit(
-            _query,
-            in_shardings=(self._repl, self._row_sharding, self._repl, self._row_sharding),
-            out_shardings=(self._row_sharding,) * 3,
-        )
+        self._insert_cache: dict[int, Callable] = {}
+        self._query_cache: dict[tuple, Callable] = {}
 
     def __len__(self) -> int:
         return self._n
+
+    @property
+    def capacity(self) -> int:
+        return self._n_dev * self._slots_cap
+
+    def _slots_bucket(self, n: int) -> int:
+        """Smallest power-of-two slot count covering n rows (>=1 row/device)."""
+        need = max(1, -(-n // self._n_dev))
+        b = 1
+        while b < need:
+            b *= 2
+        return min(b, self._slots_cap)
+
+    def _inserter(self, kb: int) -> Callable:
+        if kb not in self._insert_cache:
+
+            @jax.jit
+            def insert(fv_store, new_fv, devs, slots):
+                # padded entries carry devs == D (out of range) -> dropped
+                return fv_store.at[devs, slots].set(new_fv, mode="drop")
+
+            self._insert_cache[kb] = insert
+        return self._insert_cache[kb]
 
     def add(self, fv: np.ndarray) -> int:
         fv = np.asarray(fv, np.float32)
         if fv.ndim == 2:
             fv = fv[None]
-        if self._n + fv.shape[0] > self._fv.shape[0]:
+        k = fv.shape[0]
+        if self._n + k > self.capacity:
             raise ValueError("ShardedDescriptorDB capacity exceeded")
-        self._fv = self._insert(self._fv, jnp.asarray(fv), self._n)
+        kb = _bucket(k, minimum=1)
+        gids = self._n + np.arange(kb)
+        devs = (gids % self._n_dev).astype(np.int32)
+        slots = (gids // self._n_dev).astype(np.int32)
+        devs[k:] = self._n_dev  # drop padding
+        if kb != k:
+            fv = np.concatenate([fv, np.zeros((kb - k,) + fv.shape[1:], fv.dtype)])
+        self._fv = self._inserter(kb)(
+            self._fv, jnp.asarray(fv), jnp.asarray(devs), jnp.asarray(slots)
+        )
         first = self._n
-        self._n += fv.shape[0]
+        self._n += k
         return first
+
+    # -- host-order views --------------------------------------------------
+
+    def _host_rows(self) -> np.ndarray:
+        """Gather the live rows to host in global row order."""
+        fv = np.asarray(self._fv)  # (D, S, W, C)
+        d, s = fv.shape[:2]
+        return fv.transpose(1, 0, 2, 3).reshape(d * s, *fv.shape[2:])[: self._n]
 
     def save(self, path: str) -> None:
         """Persist live embeddings (gathered to host) to ``path`` (.npz)."""
-        fv = np.asarray(self._fv)[: self._n]
-        np.savez_compressed(path, feature_volumes=fv)
+        np.savez_compressed(path, feature_volumes=self._host_rows())
 
     def restore(self, path: str) -> int:
         """Load embeddings saved by :meth:`save` (re-sharded on insert)."""
         fv = np.load(path)["feature_volumes"]
-        if fv.shape[0] > self._fv.shape[0]:
+        if fv.shape[0] > self.capacity:
             raise ValueError(
-                f"checkpoint has {fv.shape[0]} rows > capacity {self._fv.shape[0]}"
+                f"checkpoint has {fv.shape[0]} rows > capacity {self.capacity}"
             )
         self._n = 0
         if fv.shape[0]:
             self.add(fv)
         return self._n
+
+    # -- queries -------------------------------------------------------------
+
+    def _flat_mask(self, slots: int, candidate_mask: np.ndarray | None) -> np.ndarray:
+        """Device-layout (D*slots,) bool mask: flat index f = d*slots + s maps
+        to global row s*D + d; rows >= n or outside candidate_mask are False."""
+        d = self._n_dev
+        f = np.arange(d * slots)
+        rows = (f % slots) * d + f // slots
+        mask = rows < self._n
+        if candidate_mask is not None:
+            cand = np.zeros(self.capacity, bool)
+            cand[: len(candidate_mask)] = candidate_mask[: self.capacity]
+            mask &= cand[np.minimum(rows, self.capacity - 1)]
+        return mask
+
+    def _make_query(self, slots: int, k: int | None) -> Callable:
+        key = (slots, k)
+        if key not in self._query_cache:
+            d, head = self._n_dev, self._head
+
+            def q(params, fv_store, query_fv, mask):
+                rows = jax.lax.slice_in_dim(fv_store, 0, slots, axis=1)
+                flat = rows.reshape((d * slots,) + rows.shape[2:])
+                fb = jnp.broadcast_to(query_fv[None], flat.shape)
+                overlap, logits = head(params, flat, fb)
+                overlap = jnp.where(mask, jnp.reshape(overlap, (-1,)), -1.0)
+                conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+                yaw = jnp.argmax(logits, axis=-1)
+                if k is None:
+                    return overlap, yaw, conf
+                vals, fidx = jax.lax.top_k(overlap, k)
+                gid = (fidx % slots) * d + fidx // slots
+                return vals, gid, yaw[fidx], conf[fidx]
+
+            n_out = 3 if k is None else 4
+            self._query_cache[key] = jax.jit(
+                q,
+                in_shardings=(self._repl, self._shard, self._repl, self._shard),
+                out_shardings=(self._repl,) * n_out,
+            )
+        return self._query_cache[key]
+
+    def query_topk(
+        self, query_fv: np.ndarray, k: int = 8,
+        candidate_mask: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Global best-k rows for one query, fully on device.
+
+        Only the live slot bucket is scored (O(len(self)) compute) and only
+        (k,)-sized arrays cross to the host. Returns (overlaps, row_ids,
+        yaw_bins, yaw_confidences); slots holding no live/masked row come
+        back with overlap -1 (ignore them when len(self) < k).
+        """
+        slots = self._slots_bucket(self._n)
+        k = min(k, self._n_dev * slots)
+        fn = self._make_query(slots, k)
+        mask = self._flat_mask(slots, candidate_mask)
+        vals, gid, yaw, conf = fn(
+            self._params, self._fv,
+            jnp.asarray(query_fv, jnp.float32),
+            jax.device_put(jnp.asarray(mask), self._shard),
+        )
+        return (np.asarray(vals), np.asarray(gid),
+                np.asarray(yaw), np.asarray(conf))
 
     def query_all(
         self, query_fv: np.ndarray, candidate_mask: np.ndarray | None = None
@@ -269,16 +361,24 @@ class ShardedDescriptorDB:
         """Score the query against every stored row (masked rows score -1).
 
         Returns host (overlaps, yaw_bins, yaw_confidences), each (capacity,);
-        only the first ``len(self)`` entries are live.
+        only the first ``len(self)`` entries are live. Compute and transfer
+        cover only the live slot bucket; the rest is host-side -1 padding.
         """
-        mask = np.zeros(self._fv.shape[0], bool)
-        mask[: self._n] = True
-        if candidate_mask is not None:
-            mask[: len(candidate_mask)] &= candidate_mask[: self._fv.shape[0]]
-        overlap, yaw, conf = self._query(
-            self._params,
-            self._fv,
+        slots = self._slots_bucket(self._n)
+        fn = self._make_query(slots, None)
+        mask = self._flat_mask(slots, candidate_mask)
+        overlap_f, yaw_f, conf_f = fn(
+            self._params, self._fv,
             jnp.asarray(query_fv, jnp.float32),
-            jax.device_put(jnp.asarray(mask), self._row_sharding),
+            jax.device_put(jnp.asarray(mask), self._shard),
         )
-        return np.asarray(overlap), np.asarray(yaw), np.asarray(conf)
+        d = self._n_dev
+        f = np.arange(d * slots)
+        rows = (f % slots) * d + f // slots
+        overlap = np.full(self.capacity, -1.0, np.float32)
+        yaw = np.zeros(self.capacity, np.int64)
+        conf = np.zeros(self.capacity, np.float32)
+        overlap[rows] = np.asarray(overlap_f)
+        yaw[rows] = np.asarray(yaw_f)
+        conf[rows] = np.asarray(conf_f)
+        return overlap, yaw, conf

@@ -100,6 +100,36 @@ def test_sharded_descriptor_db(head_setup):
     assert np.all(ov[[2, 4, 5]] == -1.0) and np.all(ov[6:] == -1.0)
 
 
+def test_sharded_descriptor_db_topk(head_setup):
+    """On-device global top-k: O(k) host transfer, parity with query_all."""
+    cfg, params, head_apply = head_setup
+    w = leg_output_width(cfg)
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    rng = np.random.default_rng(7)
+    fvs = rng.normal(size=(11, w, 128)).astype(np.float32)
+    sdb = ShardedDescriptorDB(head_apply, params, mesh, capacity=64, width=w)
+    sdb.add(fvs)
+
+    ov_all, yaw_all, conf_all = sdb.query_all(fvs[4])
+    vals, ids, yaws, confs = sdb.query_topk(fvs[4], k=3)
+    assert vals.shape == (3,) and ids.shape == (3,)  # O(k) results
+    order = np.argsort(ov_all)[::-1][:3]
+    np.testing.assert_array_equal(np.sort(ids), np.sort(order))
+    np.testing.assert_allclose(np.sort(vals), np.sort(ov_all[order]), rtol=1e-5)
+    for v, i, y, c in zip(vals, ids, yaws, confs):
+        assert np.isclose(v, ov_all[i], rtol=1e-5)
+        assert y == yaw_all[i]
+        assert np.isclose(c, conf_all[i], rtol=1e-5)
+
+    # candidate mask respected: only rows 0..2 eligible
+    mask = np.zeros(11, bool)
+    mask[:3] = True
+    vals_m, ids_m, _, _ = sdb.query_topk(fvs[4], k=3, candidate_mask=mask)
+    assert set(ids_m[vals_m > -1.0]) <= {0, 1, 2}
+
+
 def test_descriptor_db_save_restore(head_setup, tmp_path):
     cfg, params, head_apply = head_setup
     w = leg_output_width(cfg)
