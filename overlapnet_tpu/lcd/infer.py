@@ -132,11 +132,9 @@ class Infer:
         f1 = os.path.basename(filepath1).replace(".bin", "")
         f2 = os.path.basename(filepath2).replace(".bin", "")
         fv = self.create_feature_volumes([f2, f1])
-        db = DescriptorDB(
-            self._db._head, self.params, capacity=2, width=self.output_size
-        )
-        db.add(fv)
-        overlap, yaw_bins, _ = db.score_pairs([0], [1])
+        # score through the instance DB's shared jit cache (a throwaway
+        # DescriptorDB per call would re-trace the scorer every time)
+        overlap, yaw_bins, _ = self._db.score_volumes(fv[[0]], fv[[1]])
         return overlap[0], self._yaw_degrees(yaw_bins)
 
     def infer_multiple(self, current_frame_id: int, reference_frame_id: Sequence[int]):
@@ -199,15 +197,10 @@ class Infer:
         fv = self.create_feature_volumes(names)
         if len(second_idxs) == 0:
             return None
-        db = DescriptorDB(
-            self._db._head,
-            self.params,
-            capacity=max(len(names), 2),
-            width=self.output_size,
-        )
-        db.add(fv)
-        # reference pairs: left = second_idxs, right = first_idxs (infer.py:227-230)
-        overlaps, yaw_bins, _ = db.score_pairs(
-            np.asarray(second_idxs), np.asarray(first_idxs)
+        # reference pairs: left = second_idxs, right = first_idxs
+        # (infer.py:227-230); scored through the instance DB's shared jit
+        # cache — no per-call DescriptorDB, no retrace.
+        overlaps, yaw_bins, _ = self._db.score_volumes(
+            fv[np.asarray(second_idxs)], fv[np.asarray(first_idxs)]
         )
         return overlaps, self._yaw_degrees(yaw_bins)

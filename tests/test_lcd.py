@@ -263,6 +263,21 @@ def test_infer_api(infer_cfg):
     np.testing.assert_allclose(ov1, np.atleast_1d(ovm)[0], rtol=1e-4, atol=1e-5)
 
 
+def test_infer_no_retrace_across_calls(infer_cfg):
+    """infer_one / infer_multiple_vs_multiple must share one scorer jit
+    cache — a fresh trace per call was the round-2 serving regression."""
+    from overlapnet_tpu.lcd.infer import Infer
+
+    infer = Infer(infer_cfg, db_capacity=16)
+    infer.infer_one("000000.bin", "000001.bin")
+    infer.infer_multiple_vs_multiple(["000000", "000001"], [0], [1])
+    n_entries = len(infer._db._jit_cache)
+    for _ in range(3):
+        infer.infer_one("000000.bin", "000002.bin")
+        infer.infer_multiple_vs_multiple(["000001", "000002"], [0], [1])
+    assert len(infer._db._jit_cache) == n_entries
+
+
 def test_online_loop_closer(infer_cfg):
     """Synthetic square loop: frame t returns near frame 0; with relaxed
     gating thresholds the engine must evaluate candidates in order and only
