@@ -23,9 +23,15 @@ def main(argv: list[str] | None = None) -> int:
         print(__doc__)
         return 0
     cmd, rest = argv[0], argv[1:]
-    from overlapnet_tpu.core.jax_setup import enable_persistent_cache
+    from overlapnet_tpu.core.jax_setup import (
+        enable_persistent_cache,
+        maybe_initialize_distributed,
+    )
 
     enable_persistent_cache()
+    # multi-host bootstrap (no-op unless OVERLAPNET_COORDINATOR is set);
+    # must run before any jax.devices() call so meshes span all hosts
+    maybe_initialize_distributed()
     if cmd == "gen-data":
         from overlapnet_tpu.cli.gen_data import main as run
     elif cmd == "infer":

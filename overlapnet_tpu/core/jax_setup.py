@@ -28,6 +28,38 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     return cache_dir
 
 
+def maybe_initialize_distributed() -> bool:
+    """Env-gated multi-process (multi-host) bootstrap.
+
+    Called by every CLI entry point. When the coordinator env vars are set,
+    initializes jax.distributed so ``jax.devices()`` spans all hosts and
+    meshes/collectives ride ICI/DCN; without them this is a no-op (the
+    single-process path is unchanged). Variables:
+
+      OVERLAPNET_COORDINATOR   host:port of process 0 (presence gates init)
+      OVERLAPNET_NUM_PROCESSES total process count
+      OVERLAPNET_PROCESS_ID    this process's rank
+
+    On TPU pods with the standard cluster environment, setting only
+    OVERLAPNET_COORDINATOR=auto defers to JAX's cluster autodetection.
+    Returns True iff distributed mode was initialized.
+    """
+    coord = os.environ.get("OVERLAPNET_COORDINATOR")
+    if not coord:
+        return False
+    import jax
+
+    if coord == "auto":
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["OVERLAPNET_NUM_PROCESSES"]),
+            process_id=int(os.environ["OVERLAPNET_PROCESS_ID"]),
+        )
+    return True
+
+
 def enable_debug_nans(on: bool = True) -> None:
     """Turn on jax_debug_nans: every jitted computation re-runs op-by-op when
     a NaN appears and raises at the producing primitive — the framework's

@@ -203,6 +203,8 @@ class ShardedDescriptorDB:
         channels: int = 128,
         axis: str = "data",
     ):
+        from overlapnet_tpu.parallel.mesh import put_replicated
+
         self._head = head_apply
         self._mesh = mesh
         self._axis = axis
@@ -210,11 +212,20 @@ class ShardedDescriptorDB:
         self._slots_cap = (capacity + d - 1) // d
         self._shard = NamedSharding(mesh, P(axis))
         self._repl = NamedSharding(mesh, P())
-        self._fv = jax.device_put(
-            jnp.zeros((d, self._slots_cap, width, channels), jnp.float32),
+        # multi-process safe zero init: each process materializes only its
+        # local shards
+        self._fv = jax.make_array_from_callback(
+            (d, self._slots_cap, width, channels),
             self._shard,
+            lambda idx: np.zeros(
+                tuple(len(range(*s.indices(n))) for s, n in zip(
+                    idx, (d, self._slots_cap, width, channels))),
+                np.float32,
+            ),
         )
-        self._params = jax.device_put(params, self._repl)
+        self._params = jax.tree.map(
+            lambda p: put_replicated(mesh, p), params
+        )
         self._n = 0
         self._insert_cache: dict[int, Callable] = {}
         self._query_cache: dict[tuple, Callable] = {}
@@ -237,12 +248,15 @@ class ShardedDescriptorDB:
     def _inserter(self, kb: int) -> Callable:
         if kb not in self._insert_cache:
 
-            @jax.jit
             def insert(fv_store, new_fv, devs, slots):
                 # padded entries carry devs == D (out of range) -> dropped
                 return fv_store.at[devs, slots].set(new_fv, mode="drop")
 
-            self._insert_cache[kb] = insert
+            self._insert_cache[kb] = jax.jit(
+                insert,
+                in_shardings=(self._shard, self._repl, self._repl, self._repl),
+                out_shardings=self._shard,
+            )
         return self._insert_cache[kb]
 
     def add(self, fv: np.ndarray) -> int:
@@ -252,6 +266,8 @@ class ShardedDescriptorDB:
         k = fv.shape[0]
         if self._n + k > self.capacity:
             raise ValueError("ShardedDescriptorDB capacity exceeded")
+        from overlapnet_tpu.parallel.mesh import put_replicated
+
         kb = _bucket(k, minimum=1)
         gids = self._n + np.arange(kb)
         devs = (gids % self._n_dev).astype(np.int32)
@@ -260,7 +276,10 @@ class ShardedDescriptorDB:
         if kb != k:
             fv = np.concatenate([fv, np.zeros((kb - k,) + fv.shape[1:], fv.dtype)])
         self._fv = self._inserter(kb)(
-            self._fv, jnp.asarray(fv), jnp.asarray(devs), jnp.asarray(slots)
+            self._fv,
+            put_replicated(self._mesh, fv),
+            put_replicated(self._mesh, devs),
+            put_replicated(self._mesh, slots),
         )
         first = self._n
         self._n += k
@@ -270,7 +289,12 @@ class ShardedDescriptorDB:
 
     def _host_rows(self) -> np.ndarray:
         """Gather the live rows to host in global row order."""
-        fv = np.asarray(self._fv)  # (D, S, W, C)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            fv = np.asarray(multihost_utils.process_allgather(self._fv, tiled=True))
+        else:
+            fv = np.asarray(self._fv)  # (D, S, W, C)
         d, s = fv.shape[:2]
         return fv.transpose(1, 0, 2, 3).reshape(d * s, *fv.shape[2:])[: self._n]
 
@@ -343,14 +367,16 @@ class ShardedDescriptorDB:
         yaw_bins, yaw_confidences); slots holding no live/masked row come
         back with overlap -1 (ignore them when len(self) < k).
         """
+        from overlapnet_tpu.parallel.mesh import put_replicated, put_sharded
+
         slots = self._slots_bucket(self._n)
         k = min(k, self._n_dev * slots)
         fn = self._make_query(slots, k)
         mask = self._flat_mask(slots, candidate_mask)
         vals, gid, yaw, conf = fn(
             self._params, self._fv,
-            jnp.asarray(query_fv, jnp.float32),
-            jax.device_put(jnp.asarray(mask), self._shard),
+            put_replicated(self._mesh, np.asarray(query_fv, np.float32)),
+            put_sharded(self._mesh, mask, self._axis),
         )
         return (np.asarray(vals), np.asarray(gid),
                 np.asarray(yaw), np.asarray(conf))
@@ -364,13 +390,15 @@ class ShardedDescriptorDB:
         only the first ``len(self)`` entries are live. Compute and transfer
         cover only the live slot bucket; the rest is host-side -1 padding.
         """
+        from overlapnet_tpu.parallel.mesh import put_replicated, put_sharded
+
         slots = self._slots_bucket(self._n)
         fn = self._make_query(slots, None)
         mask = self._flat_mask(slots, candidate_mask)
         overlap_f, yaw_f, conf_f = fn(
             self._params, self._fv,
-            jnp.asarray(query_fv, jnp.float32),
-            jax.device_put(jnp.asarray(mask), self._shard),
+            put_replicated(self._mesh, np.asarray(query_fv, np.float32)),
+            put_sharded(self._mesh, mask, self._axis),
         )
         d = self._n_dev
         f = np.arange(d * slots)

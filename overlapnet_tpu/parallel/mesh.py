@@ -46,10 +46,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_replicated(mesh: Mesh, x: Any) -> jax.Array:
+    """Replicate one host array over the mesh (multi-process safe: every
+    process must pass the same value)."""
+    s = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+
+def put_sharded(mesh: Mesh, x: Any, axis: str = "data") -> jax.Array:
+    """Shard one host array's leading dim over ``axis``.
+
+    ``x`` is the full GLOBAL array, identical on every process; each process
+    device_puts only the rows its local devices own (the standard multi-host
+    input pattern — jax.make_array_from_single_device_arrays assembles the
+    global array without any cross-host transfer)."""
+    s = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
-    """Device-put a pytree of host arrays with the leading dim sharded."""
-    sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Device-put a pytree of host arrays with the leading dim sharded.
+
+    Works in both single-process and multi-process (jax.distributed) modes;
+    in the latter, every process passes the same global batch and only the
+    locally-owned rows are transferred."""
+    return jax.tree.map(lambda x: put_sharded(mesh, x, axis), batch)
 
 
 def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:

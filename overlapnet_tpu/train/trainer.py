@@ -172,6 +172,14 @@ class Trainer:
 
     def __post_init__(self):
         self.state, self.tx = create_train_state(self.cfg, self.steps_per_epoch, self.cfg.train.seed)
+        if self.mesh is not None:
+            # explicit replicated placement (required in multi-process mode,
+            # where jit cannot auto-put host-local arrays onto a global mesh)
+            from overlapnet_tpu.parallel.mesh import put_replicated
+
+            self.state = jax.tree.map(
+                lambda x: put_replicated(self.mesh, x), self.state
+            )
         self.train_step = make_train_step(self.cfg, self.tx, self.mesh)
         self.eval_step = make_eval_step(self.cfg)
 
