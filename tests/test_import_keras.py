@@ -18,8 +18,18 @@ def _leaf(params, *names):
 
 
 def make_keras_file(path, params):
-    """Write a Keras model.save-style HDF5 mirroring the reference layer
-    names, with random values shaped like our model's params."""
+    """Write an HDF5 file matching Keras 2.1.5 ``model.save()`` layout
+    (the reference's model_geo.weight format, training.py:349):
+
+      / attrs: keras_version, backend, model_config
+      /model_weights attrs: layer_names (ALL layers, including weightless
+          input/delta/flatten layers), keras_version, backend
+      /model_weights/<layer> attrs: weight_names = [b'<layer>/kernel:0', ...]
+      /model_weights/<layer>/<layer>/kernel:0 datasets (nested group via the
+          slash in the dataset name)
+      /optimizer_weights: Adagrad accumulators (must be ignored on import)
+
+    Values are random but deterministic, shaped like our model's params."""
     rng = np.random.default_rng(0)
     layer_vars = {}
     p = params["params"]
@@ -33,17 +43,36 @@ def make_keras_file(path, params):
             "kernel": rng.normal(size=p["overlap_head"][conv]["kernel"].shape),
             "bias": rng.normal(size=p["overlap_head"][conv]["bias"].shape),
         }
+    # weightless layers appear in layer_names with empty weight groups,
+    # exactly like Keras writes them (reference generateNet.py:357-398)
+    weightless = [
+        "leg_input_l", "leg_input_r", "delta_layer",
+        "normalized_correlation2d_1", "flatten_1", "orientation_output",
+    ]
     with h5py.File(path, "w") as f:
+        f.attrs["keras_version"] = b"2.1.5"
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["model_config"] = b'{"class_name": "Model", "config": {}}'
         g = f.create_group("model_weights")
-        g.attrs["layer_names"] = [n.encode() for n in layer_vars]
-        for layer, vs in layer_vars.items():
+        all_layers = weightless[:2] + list(layer_vars) + weightless[2:]
+        g.attrs["layer_names"] = [n.encode() for n in all_layers]
+        g.attrs["keras_version"] = b"2.1.5"
+        g.attrs["backend"] = b"tensorflow"
+        for layer in all_layers:
             lg = g.create_group(layer)
             names = []
-            for var, arr in vs.items():
+            for var, arr in layer_vars.get(layer, {}).items():
                 wn = f"{layer}/{var}:0"
                 lg.create_dataset(wn, data=arr.astype(np.float32))
                 names.append(wn.encode())
             lg.attrs["weight_names"] = names
+        # optimizer state: present in model.save files, must not be imported
+        og = f.create_group("optimizer_weights")
+        og.attrs["weight_names"] = [b"training/Adagrad/accumulator_0:0"]
+        og.create_dataset(
+            "training/Adagrad/accumulator_0:0",
+            data=np.full(p["legs"]["s_conv1"]["kernel"].shape, 9.9, np.float32),
+        )
     return layer_vars
 
 
@@ -60,6 +89,8 @@ def test_roundtrip_import(model_setup, tmp_path):
 
     flat = read_keras_weights(path)
     assert "s_conv1/kernel" in flat
+    # optimizer accumulators live outside model_weights and must not leak in
+    assert not any("accumulator" in k.lower() for k in flat)
 
     new = import_keras_weights(path, params)
     for conv, vs in truth.items():
