@@ -183,27 +183,38 @@ class Trainer:
         self.train_step = make_train_step(self.cfg, self.tx, self.mesh)
         self.eval_step = make_eval_step(self.cfg)
 
-    def run_epoch(self, batches) -> dict:
-        from overlapnet_tpu.core.profiling import StepTimer
+    # cap on dispatched-but-unfetched steps: bounds device memory held by
+    # in-flight batches without paying a host<->device round trip per step
+    # (on a remote-TPU link a per-step sync costs ~the link latency and
+    # dominates the epoch — the round-2 trainer did exactly that)
+    pipeline_depth: int = 32
 
+    def run_epoch(self, batches) -> dict:
+        import time
+
+        import numpy as np
+
+        losses = []  # device scalars; fetched once at epoch end
         last_metrics = {}
-        total = 0.0
         count = 0
-        timer = StepTimer()
+        n_items = 0
+        t0 = time.perf_counter()
         for batch in batches:
-            b = int(jax.tree.leaves(batch)[0].shape[0])
-            timer.start()
+            n_items += int(jax.tree.leaves(batch)[0].shape[0])
             self.state, metrics = self.train_step(self.state, batch)
-            total += float(metrics["loss"])  # fetch syncs the step
-            timer.stop(items=b)
+            losses.append(metrics["loss"])
             last_metrics = metrics
             count += 1
+            if count % self.pipeline_depth == 0:
+                jax.block_until_ready(self.state.step)
         if count:
+            jax.block_until_ready(self.state.step)
+            dt = time.perf_counter() - t0
             last_metrics = {
-                **last_metrics,
-                "epoch_loss": total / count,
-                "train_pairs_per_sec": timer.items_per_sec,
-                "sec_per_step": timer.sec_per_step,
+                **{k: float(v) for k, v in last_metrics.items()},
+                "epoch_loss": float(np.mean(jax.device_get(losses))),
+                "train_pairs_per_sec": n_items / dt,
+                "sec_per_step": dt / count,
             }
         return {k: float(v) for k, v in last_metrics.items()}
 
