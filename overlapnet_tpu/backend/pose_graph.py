@@ -273,6 +273,7 @@ def optimize_pose_graph(
     robust_delta: float = 0.0,
     robust_kernel: str = "huber",
     robust_anneal_start: float = 0.0,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Optimize; returns (poses (N, 3), chi2 history (iterations,)).
 
@@ -281,13 +282,43 @@ def optimize_pose_graph(
     delta for loop-closure graphs is ~1-3 (units of Mahalanobis residual);
     pair tukey with ``robust_anneal_start`` (e.g. 100x delta) so honest
     closures survive the early high-drift iterations.
+
+    ``mesh``: optional jax.sharding.Mesh — shards the edge set over the
+    mesh's 'data' axis (poses replicated). The per-edge residual/Jacobian and
+    Hv products then run SPMD across devices, with the scatter-adds onto the
+    (N, 3) pose blocks reduced by XLA-inserted psums; results are identical
+    to the single-device path (edge padding carries zero information).
     """
+    ei, ej = graph.edges_i, graph.edges_j
+    z, omega = graph.measurements, graph.informations
+    if mesh is not None:
+        from overlapnet_tpu.parallel.mesh import put_replicated, put_sharded
+
+        n_dev = mesh.shape["data"]
+        pad = (-len(ei)) % n_dev
+        if pad:
+            # zero-information self-edges at pose 0 contribute nothing
+            ei = np.concatenate([ei, np.zeros(pad, np.int32)])
+            ej = np.concatenate([ej, np.zeros(pad, np.int32)])
+            z = np.concatenate([z, np.zeros((pad, 3))])
+            omega = np.concatenate([omega, np.zeros((pad, 3, 3))])
+        put_e = lambda x, dt: put_sharded(mesh, np.asarray(x, dt))
+        args = (
+            put_replicated(mesh, np.asarray(
+                initial_poses,
+                np.float64 if jax.config.jax_enable_x64 else np.float32)),
+            put_e(ei, np.int32), put_e(ej, np.int32),
+            put_e(z, np.float32), put_e(omega, np.float32),
+        )
+    else:
+        args = (
+            jnp.asarray(initial_poses,
+                        jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(z, jnp.float32), jnp.asarray(omega, jnp.float32),
+        )
     poses, chi2s = _gauss_newton(
-        jnp.asarray(initial_poses, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
-        jnp.asarray(graph.edges_i),
-        jnp.asarray(graph.edges_j),
-        jnp.asarray(graph.measurements, jnp.float32),
-        jnp.asarray(graph.informations, jnp.float32),
+        *args,
         n_poses=graph.n_poses,
         iterations=iterations,
         cg_iters=cg_iters,

@@ -165,3 +165,34 @@ def test_robust_kernel_rejects_outlier_closure():
     ate_tukey = absolute_trajectory_error(tukey, gt)["ate_rmse"]
     assert ate_huber < ate_plain / 2, (ate_plain, ate_huber)
     assert ate_tukey < 1.0, (ate_plain, ate_huber, ate_tukey)
+
+
+def test_mesh_sharded_optimization_parity():
+    """Edge-sharded (8-device mesh) Gauss-Newton must match the
+    single-device result exactly-ish: the padding edges carry zero
+    information and the psum-reduced normal equations are the same math."""
+    import jax
+
+    from overlapnet_tpu.backend import relative_pose_edges
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    gt = square_trajectory(side=25)
+    est = drifted_odometry(gt, yaw_drift=0.004)
+    graph = odometry_edges(est)
+    n = len(gt)
+    pairs = np.array([[0, n - 1], [0, n - 2], [1, n - 1], [2, n - 1], [3, n - 1]])
+    z = np.stack([np.asarray(relative_pose(gt[a], gt[b])) for a, b in pairs])
+    loops = PoseGraph.merged(graph, relative_pose_edges(pairs, z, n))
+    # edge count not divisible by 8 -> exercises zero-information padding
+    assert loops.n_edges % 8 != 0
+
+    single, chi_s = optimize_pose_graph(loops, est, iterations=10, cg_iters=100)
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    sharded, chi_m = optimize_pose_graph(
+        loops, est, iterations=10, cg_iters=100, mesh=mesh
+    )
+    # fp32 psum reduction order differs from the serial scatter-add and
+    # compounds through CG/GN iterations; centimeter-level agreement on a
+    # 25 m loop is parity for this solver
+    np.testing.assert_allclose(sharded, single, atol=1e-2)
+    np.testing.assert_allclose(chi_m, chi_s, rtol=1e-2)
