@@ -63,6 +63,12 @@ def main(argv: list[str]) -> int:
         action="store_true",
         help="mirror metrics to TensorBoard event files under the exp dir",
     )
+    ap.add_argument(
+        "--no-resident",
+        action="store_true",
+        help="disable the device-resident training store (stream host batches "
+        "even when the deduplicated scan set fits in device memory)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -139,10 +145,41 @@ def main(argv: list[str]) -> int:
 
     from overlapnet_tpu.core.profiling import trace
 
+    # device-resident fast path: when the deduplicated scan set fits in
+    # device memory, put it there once and train on index batches (steps
+    # ship O(batch) integers instead of full images)
+    resident = None
+    if not args.no_resident:
+        from overlapnet_tpu.data.dataset import unique_scans
+
+        n_unique = len(unique_scans(pairs)[0])
+        footprint = (
+            n_unique * cfg.model.input_height * cfg.model.input_width
+            * cfg.channels.num_channels * 4
+        )
+        if footprint < 4e9:
+            from overlapnet_tpu.data.dataset import ResidentPairs
+
+            resident = ResidentPairs(train_ds, mesh=mesh)
+            logger.info(
+                "device-resident training store: %d scans, %.1f MB",
+                n_unique, footprint / 1e6,
+            )
+        else:
+            logger.info(
+                "scan footprint %.1f GB > 4 GB; streaming host batches",
+                footprint / 1e9,
+            )
+
     start_epoch = int(trainer.state.step) // steps_per_epoch
     for epoch in range(start_epoch, cfg.train.no_epochs):
         with trace(args.profile_dir if epoch == start_epoch else None):
-            metrics = trainer.run_epoch(device_batches(epoch))
+            if resident is not None:
+                metrics = trainer.run_epoch_resident(
+                    resident, cfg.train.batch_size, epoch
+                )
+            else:
+                metrics = trainer.run_epoch(device_batches(epoch))
         logger.info("epoch %d: loss %.5f", epoch, metrics.get("epoch_loss", float("nan")))
         step = int(trainer.state.step)
         writer.write(step, {**metrics, "epoch": epoch}, phase="train")

@@ -261,6 +261,80 @@ class PairImageDataset:
                     break
 
 
+class ResidentPairs:
+    """Device-resident training store (no reference counterpart).
+
+    The host pipeline ships ~2 full images per pair per step; over a
+    remote-TPU link that transfer IS the training bottleneck. Here the
+    deduplicated scan images are put on the accelerator ONCE (replicated
+    over the mesh) and each step ships only integer pair indices, rotation
+    shifts and labels — O(bytes) per step. Pair gathers and the rotate_data
+    circular-shift augmentation happen on device inside the jitted train
+    step (trainer.make_resident_train_step).
+
+    Augmentation/shuffle semantics match PairImageDataset exactly (same
+    shift draws, same epoch shuffle streams), so the two paths are
+    interchangeable — asserted by tests/test_train.py.
+    """
+
+    def __init__(self, ds: PairImageDataset, mesh=None, input_dtype: str = "float32"):
+        import jax.numpy as jnp
+
+        self._ds = ds
+        scans, self.idx1, self.idx2 = unique_scans(ds.pairs)
+        imgs = np.stack([ds._cache.get(d, n) for d, n in scans])
+        if input_dtype == "bfloat16":
+            import ml_dtypes
+
+            imgs = imgs.astype(ml_dtypes.bfloat16)
+        if mesh is not None:
+            from overlapnet_tpu.parallel.mesh import put_replicated
+
+            self.images = put_replicated(mesh, imgs)
+        else:
+            self.images = jnp.asarray(imgs)
+        self.n_scans = imgs.shape[0]
+
+    def __len__(self) -> int:
+        return len(self._ds.pairs)
+
+    def batches(
+        self,
+        batch_size: int,
+        epoch: int = 0,
+        shuffle: bool = False,
+        drop_remainder: bool = False,
+        max_batches: int | None = None,
+    ) -> Iterator[dict]:
+        """Yield index batches {i1, i2, shift, overlap, orientation} (host
+        numpy, tiny). Shift semantics = PairImageDataset._example: right
+        image np.roll(+shift) when rotate_data > 0, else shift 0."""
+        ds = self._ds
+        if ds.rotate_data == 2 and epoch > 0:
+            ds._shifts = ds._draw_shifts()
+        order = np.arange(len(ds.pairs))
+        if shuffle:
+            np.random.default_rng(hash(("epoch", epoch)) % (2**32)).shuffle(order)
+        starts = list(range(0, len(order), batch_size))
+        if drop_remainder:
+            starts = [s for s in starts if s + batch_size <= len(order)]
+        if max_batches is not None:
+            starts = starts[:max_batches]
+        p = ds.pairs
+        shifts = (
+            ds._shifts if ds.rotate_data > 0 else np.zeros(len(p), np.int32)
+        )
+        for s in starts:
+            idx = order[s : s + batch_size]
+            yield {
+                "i1": np.asarray(self.idx1[idx], np.int32),
+                "i2": np.asarray(self.idx2[idx], np.int32),
+                "shift": np.asarray(shifts[idx], np.int32),
+                "overlap": np.asarray(p.overlap[idx], np.float32),
+                "orientation": np.asarray(p.orientation[idx], np.int32),
+            }
+
+
 class FeatureVolumePairs:
     """Pair batches over precomputed leg feature volumes — the descriptor-
     reuse path of evaluation/serving (reference

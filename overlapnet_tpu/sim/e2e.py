@@ -170,7 +170,6 @@ def train_and_eval(cfg, gt_paths: dict, mesh=None) -> dict:
     baseline (proof the accuracy comes from learning, not the harness)."""
     from overlapnet_tpu.data import load_gt_pairs
     from overlapnet_tpu.data.dataset import PairImageDataset
-    from overlapnet_tpu.parallel.mesh import shard_batch
     from overlapnet_tpu.train.trainer import Trainer
 
     pairs = load_gt_pairs([gt_paths["train_set"]], shuffle=True,
@@ -197,15 +196,13 @@ def train_and_eval(cfg, gt_paths: dict, mesh=None) -> dict:
     results = {"n_train_pairs": len(pairs), "n_val_pairs": len(val_pairs)}
     results["untrained"] = trainer.evaluate(val_batches())
 
-    def device_batches(epoch):
-        for batch in train_ds.batches(
-            cfg.train.batch_size, epoch=epoch, shuffle=True,
-            drop_remainder=True, input_dtype=cfg.train.input_dtype,
-        ):
-            yield shard_batch(mesh, batch) if mesh is not None else batch
+    # device-resident training: scan images live on the accelerator once;
+    # steps ship only indices (parity with the host path is test-asserted)
+    from overlapnet_tpu.data.dataset import ResidentPairs
 
+    resident = ResidentPairs(train_ds, mesh=mesh)
     for epoch in range(cfg.train.no_epochs):
-        m = trainer.run_epoch(device_batches(epoch))
+        m = trainer.run_epoch_resident(resident, cfg.train.batch_size, epoch)
         print(f"epoch {epoch}: loss {m.get('epoch_loss', float('nan')):.4f} "
               f"({m.get('train_pairs_per_sec', 0):.1f} pairs/s)")
         results[f"epoch{epoch}_loss"] = m.get("epoch_loss")

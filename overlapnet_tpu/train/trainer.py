@@ -139,6 +139,73 @@ def make_train_step(
     )
 
 
+def make_resident_train_step(
+    cfg: OverlapNetConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh | None = None,
+):
+    """Train step over a device-resident scan store (data.dataset.
+    ResidentPairs): signature (state, images (N, H, W, C) on device,
+    batch {i1, i2, shift, overlap, orientation}). Pair gathers and the
+    rotate_data circular shift (host semantics: np.roll(x2, +shift, axis=1))
+    run inside the jitted step, so only O(batch) integers cross the link."""
+    model = build_model(cfg.model)
+    output_size = leg_output_width(cfg.model)
+    pos_weight = float(output_size)
+
+    def loss_fn(params, images, batch):
+        x1 = images[batch["i1"]]
+        x2 = images[batch["i2"]]
+        w = x2.shape[2]
+
+        def roll_one(img, s):
+            # np.roll(img, +s, axis=1): out[:, j] = img[:, (j - s) % w]
+            cols = jnp.mod(jnp.arange(w) - s, w)
+            return jnp.take(img, cols, axis=1)
+
+        x2 = jax.vmap(roll_one)(x2, batch["shift"])
+        overlap_pred, orient_logits = model.apply(params, x1, x2)
+        target_vec = orientation_target(
+            batch["orientation"], batch["overlap"], output_size
+        )
+        return combined_loss(
+            overlap_pred,
+            orient_logits,
+            batch["overlap"],
+            target_vec,
+            pos_weight=pos_weight,
+            min_overlap_for_angle=cfg.train.min_overlap_for_angle,
+            overlap_weight=cfg.train.overlap_loss_weight,
+            orientation_weight=cfg.train.orientation_loss_weight,
+            mask_zero_orientation=cfg.train.mask_zero_orientation,
+        )
+
+    def step_fn(state: TrainState, images, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, images, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {**metrics, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    batch_shardings = {
+        k: data for k in ("i1", "i2", "shift", "overlap", "orientation")
+    }
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, batch_shardings),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_eval_step(cfg: OverlapNetConfig, mesh: Mesh | None = None):
     """Jitted forward producing (overlap (B,), yaw_argmax (B,)) for the
     validation metrics of the reference epoch loop (training.py:352-416)."""
@@ -190,6 +257,33 @@ class Trainer:
     pipeline_depth: int = 32
 
     def run_epoch(self, batches) -> dict:
+        return self._run_loop(
+            batches, lambda b: self.train_step(self.state, b)
+        )
+
+    def run_epoch_resident(
+        self, resident, batch_size: int, epoch: int = 0, shuffle: bool = True
+    ) -> dict:
+        """Epoch over a data.dataset.ResidentPairs store: per-step host
+        traffic is O(batch) integers; images never leave the device."""
+        if getattr(self, "_resident_step", None) is None:
+            self._resident_step = make_resident_train_step(
+                self.cfg, self.tx, self.mesh
+            )
+        from overlapnet_tpu.parallel.mesh import shard_batch
+
+        def batches():
+            for b in resident.batches(
+                batch_size, epoch=epoch, shuffle=shuffle, drop_remainder=True
+            ):
+                yield shard_batch(self.mesh, b) if self.mesh is not None else b
+
+        return self._run_loop(
+            batches(),
+            lambda b: self._resident_step(self.state, resident.images, b),
+        )
+
+    def _run_loop(self, batches, step) -> dict:
         import time
 
         import numpy as np
@@ -201,7 +295,7 @@ class Trainer:
         t0 = time.perf_counter()
         for batch in batches:
             n_items += int(jax.tree.leaves(batch)[0].shape[0])
-            self.state, metrics = self.train_step(self.state, batch)
+            self.state, metrics = step(batch)
             losses.append(metrics["loss"])
             last_metrics = metrics
             count += 1

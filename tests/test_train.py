@@ -257,3 +257,87 @@ def test_dataset_bfloat16_batches(tmp_path):
     np.testing.assert_allclose(
         b["x1"].astype(np.float32), b32["x1"], rtol=0.01, atol=0.01
     )
+
+
+def test_resident_step_matches_host_step():
+    """Device-resident gather+roll train step == host-assembled-batch step
+    (same params, same math, only the data path differs)."""
+    from overlapnet_tpu.train.trainer import (
+        create_train_state,
+        make_resident_train_step,
+        make_train_step,
+    )
+
+    cfg = small_cfg(batch_size=4)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(6, 64, cfg.model.input_width, 4)).astype(np.float32)
+    i1 = np.array([0, 2, 4, 1], np.int32)
+    i2 = np.array([1, 3, 5, 0], np.int32)
+    shift = np.array([0, 5, 359, 123], np.int32)
+    overlap = rng.uniform(size=4).astype(np.float32)
+    orientation = rng.integers(0, 90, size=4).astype(np.int32)
+
+    host_batch = {
+        "x1": images[i1],
+        "x2": np.stack([np.roll(images[i2[k]], int(shift[k]), axis=1)
+                        for k in range(4)]),
+        "overlap": overlap,
+        "orientation": orientation,
+    }
+    res_batch = {"i1": i1, "i2": i2, "shift": shift,
+                 "overlap": overlap, "orientation": orientation}
+
+    state_h, tx = create_train_state(cfg, steps_per_epoch=4, rng=0)
+    state_r, _ = create_train_state(cfg, steps_per_epoch=4, rng=0)
+    step_h = make_train_step(cfg, tx)
+    step_r = make_resident_train_step(cfg, tx)
+    state_h, mh = step_h(state_h, host_batch)
+    state_r, mr = step_r(state_r, jnp.asarray(images), res_batch)
+    np.testing.assert_allclose(float(mh["loss"]), float(mr["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_h.params), jax.tree.leaves(state_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_resident_pairs_reconstruct_host_batches(tmp_path):
+    """ResidentPairs index batches must reconstruct PairImageDataset's host
+    batches exactly (same shuffle stream, same shift draws)."""
+    import os
+
+    from overlapnet_tpu.core.config import ChannelConfig
+    from overlapnet_tpu.data.dataset import PairImageDataset, ResidentPairs
+    from overlapnet_tpu.data.gt_files import PairList
+
+    rng = np.random.default_rng(3)
+    root = tmp_path / "imgs"
+    h, w = 8, 12
+    for kind, ch in [("depth", None), ("normal", 3)]:
+        os.makedirs(root / "07" / kind)
+        for i in range(6):
+            shape = (h, w) if ch is None else (h, w, ch)
+            np.save(root / "07" / kind / f"{i:06d}.npy",
+                    rng.normal(size=shape).astype(np.float32))
+
+    n = 10
+    i1 = rng.integers(0, 6, n)
+    i2 = rng.integers(0, 6, n)
+    pairs = PairList(["%06d" % i for i in i1], ["%06d" % i for i in i2],
+                     ["07"] * n, ["07"] * n,
+                     rng.uniform(0, 1, n), rng.integers(0, 360, n).astype(float))
+    ch = ChannelConfig()
+    ds = PairImageDataset(str(root), pairs, ch, height=h, width=w,
+                          rotate_data=1, seed=7)
+    resident = ResidentPairs(ds)
+    imgs = np.asarray(resident.images)
+
+    host = list(ds.batches(4, epoch=0, shuffle=True, drop_remainder=True))
+    res = list(resident.batches(4, epoch=0, shuffle=True, drop_remainder=True))
+    assert len(host) == len(res)
+    for hb, rb in zip(host, res):
+        np.testing.assert_allclose(hb["x1"], imgs[rb["i1"]], rtol=1e-6)
+        x2 = np.stack([
+            np.roll(imgs[rb["i2"][k]], int(rb["shift"][k]), axis=1)
+            for k in range(len(rb["i2"]))
+        ])
+        np.testing.assert_allclose(hb["x2"], x2, rtol=1e-6)
+        np.testing.assert_allclose(hb["overlap"], rb["overlap"])
+        np.testing.assert_array_equal(hb["orientation"], rb["orientation"])
