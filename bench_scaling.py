@@ -164,6 +164,41 @@ def main() -> int:
             "db_efficiency": round(query_tput / (n * base_query), 3),
             "unit": "pairs/s",
         }))
+
+    # --- capacity flatness: query cost must track live rows, not capacity --
+    # (round-2 regression: query_all scored all `capacity` rows and shipped
+    # three full-capacity arrays to host; now only the live power-of-two slot
+    # bucket is scored and query_topk returns k-sized arrays)
+    import time as _time
+
+    from overlapnet_tpu.lcd.descriptor_db import ShardedDescriptorDB
+
+    mesh = make_mesh(len(devices), devices=devices)
+    live = 64
+    sweep = []
+    for capacity in (1024, 4096, 16384):
+        sdb = ShardedDescriptorDB(
+            make_head_apply(cfg.model), params, mesh,
+            capacity=capacity, width=w,
+        )
+        sdb.add(rng.normal(size=(live, w, 128)).astype(np.float32))
+        q = rng.normal(size=(w, 128)).astype(np.float32)
+        sdb.query_topk(q, k=8)  # compile
+        t0 = _time.perf_counter()
+        reps = 20
+        for _ in range(reps):
+            vals, ids, yaws, confs = sdb.query_topk(q, k=8)
+        dt = (_time.perf_counter() - t0) / reps
+        assert vals.shape == (8,), "host transfer must be O(k)"
+        sweep.append({"capacity": capacity, "live_rows": live,
+                      "ms_per_query": round(dt * 1e3, 3)})
+        print(f"# capacity sweep: {sweep[-1]}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "query_capacity_flatness",
+        "devices": len(devices),
+        "sweep": sweep,
+        "flat": bool(sweep[-1]["ms_per_query"] < 3 * sweep[0]["ms_per_query"]),
+    }))
     return 0
 
 

@@ -300,13 +300,17 @@ class Trainer:
             last_metrics = metrics
             count += 1
             if count % self.pipeline_depth == 0:
-                jax.block_until_ready(self.state.step)
+                # real barrier: fetch a scalar. On remote-relay backends
+                # (axon) block_until_ready returns without draining the
+                # client queue, so an epoch's worth of dispatched batches
+                # piles up in host RAM (observed: OOM at ~130 GB).
+                losses[-1] = float(losses[-1])
         if count:
-            jax.block_until_ready(self.state.step)
+            losses = [float(v) for v in jax.device_get(losses)]
             dt = time.perf_counter() - t0
             last_metrics = {
                 **{k: float(v) for k, v in last_metrics.items()},
-                "epoch_loss": float(np.mean(jax.device_get(losses))),
+                "epoch_loss": float(np.mean(losses)),
                 "train_pairs_per_sec": n_items / dt,
                 "sec_per_step": dt / count,
             }
