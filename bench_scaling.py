@@ -36,6 +36,10 @@ def main() -> int:
     ap.add_argument("--iters", type=int, nargs=2, default=(4, 20),
                     metavar=("LO", "HI"),
                     help="chained-loop lengths for the slope timing")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="skip the DP train-step scaling section (virtual CPU "
+                    "devices share physical cores, making grad-step timings "
+                    "both slow and meaningless there)")
     args = ap.parse_args()
 
     import os
@@ -91,6 +95,7 @@ def main() -> int:
         params_d = jax.device_put(params, repl)
 
         # --- DP train-step throughput (per-device batch held fixed) ------
+        train_tput = None
         b = args.batch_per_device * n
         batch = {
             "x1": jax.device_put(
@@ -124,9 +129,10 @@ def main() -> int:
             p2 = jax.tree.map(lambda a, b_: a - 1e-6 * b_, p, g)
             return (p2, bt)
 
-        t_train = time_chained(train_body, (params_d, batch),
-                               iters_lo=args.iters[0], iters_hi=args.iters[1])
-        train_tput = b / t_train
+        if not args.skip_train:
+            t_train = time_chained(train_body, (params_d, batch),
+                                   iters_lo=args.iters[0], iters_hi=args.iters[1])
+            train_tput = b / t_train
 
         # --- sharded descriptor-DB query throughput ----------------------
         rows = args.db_rows_per_device * n
@@ -153,17 +159,19 @@ def main() -> int:
         query_tput = rows / t_query
 
         if n == counts[0]:
-            base_train = train_tput / n
+            base_train = (train_tput / n) if train_tput else None
             base_query = query_tput / n
-        print(json.dumps({
+        line = {
             "metric": "scaling",
             "devices": n,
-            "train_pairs_per_sec": round(train_tput, 1),
             "db_pairs_per_sec": round(query_tput, 1),
-            "train_efficiency": round(train_tput / (n * base_train), 3),
             "db_efficiency": round(query_tput / (n * base_query), 3),
             "unit": "pairs/s",
-        }))
+        }
+        if train_tput:
+            line["train_pairs_per_sec"] = round(train_tput, 1)
+            line["train_efficiency"] = round(train_tput / (n * base_train), 3)
+        print(json.dumps(line))
 
     # --- capacity flatness: query cost must track live rows, not capacity --
     # (round-2 regression: query_all scored all `capacity` rows and shipped
