@@ -1,0 +1,46 @@
+"""Accuracy-floor regression gate (VERDICT r2 ask #1).
+
+Runs the full pipeline (sim scans -> projection -> GT -> training -> LCD ->
+pose graph) at miniature scale and asserts floors, so a refactor that
+silently breaks learning, detection, or the backend fails CI. The committed
+full-scale numbers live in BASELINE.md / RESULTS_r03.json (128 frames,
+60 epochs on TPU); this gate is the always-on small version of the same
+pipeline.
+"""
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_e2e_floors(tmp_path):
+    from overlapnet_tpu.sim.e2e import run_e2e
+
+    m = run_e2e(str(tmp_path / "e2e"), n_frames=12, epochs=2, batch_size=4)
+    # learning happened
+    assert m["trained_overlap_rms_error"] < m["untrained_overlap_rms_error"], m
+    # detection works at toy scale
+    assert m["lcd_f1"] >= 0.5, m
+    assert m["lcd_false_positives"] <= m["lcd_true_positives"], m
+    # backend does not make the trajectory worse
+    assert m["ate_after_m"] <= m["ate_before_m"] * 1.05, m
+
+
+def test_committed_results_meet_floors():
+    """The frozen full-scale artifact (RESULTS_r03.json) must satisfy the
+    BASELINE.md floors; regenerate with
+    python -m overlapnet_tpu.sim.e2e --work-dir <dir> --frames 128 --epochs 60.
+    """
+    path = os.path.join(REPO, "RESULTS_r03.json")
+    if not os.path.exists(path):
+        pytest.skip("RESULTS_r03.json not committed yet")
+    with open(path) as f:
+        m = json.load(f)
+    assert m["lcd_f1"] >= 0.9, m["lcd_f1"]
+    assert m["lcd_precision"] >= 0.9
+    assert m["trained_overlap_rms_error"] < 0.05
+    assert m["ate_after_m"] < m["ate_before_m"]
