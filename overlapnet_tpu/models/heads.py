@@ -45,7 +45,7 @@ class _DeltaConv1(nn.Module):
             diff = delta_volume(fa, fb)  # (B, W, W, C)
             out = jax.lax.conv_general_dilated(
                 diff,
-                kernel,
+                kernel.astype(diff.dtype),  # match compute dtype (bf16 path)
                 window_strides=(1, self.stride),
                 padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
