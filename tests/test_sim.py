@@ -124,3 +124,23 @@ def test_com_overlap_yaw_all_matches_per_query(small_world, tmp_path):
                                max_points=32_768)
         rows = gt_all[gt_all[:, 0] == q]
         np.testing.assert_array_equal(rows, gt_q)
+
+
+def test_com_overlap_yaw_all_chunk_invariance(small_world, tmp_path):
+    """Async chunked dispatch must be chunk-size invariant (guards the
+    padded-tail + single-fetch rewrite)."""
+    from overlapnet_tpu.geometry import kitti
+    from overlapnet_tpu.geometry.overlap import com_overlap_yaw_all
+
+    poses = loop_trajectory(5, side=40.0, laps=2.0)
+    files = write_kitti_sequence(str(tmp_path), small_world, poses,
+                                 max_points=15_000)
+    scan_paths = kitti.load_files(files["scan_folder"])
+    velo_poses = kitti.poses_cam_to_velo(
+        kitti.load_poses(files["poses_file"]), np.eye(4)
+    )
+    a = com_overlap_yaw_all(scan_paths, velo_poses, max_points=32_768,
+                            chunk_size=3)
+    b = com_overlap_yaw_all(scan_paths, velo_poses, max_points=32_768,
+                            chunk_size=25)  # = n_pairs: single chunk
+    np.testing.assert_array_equal(a, b)
