@@ -27,7 +27,9 @@ import numpy as np
 from overlapnet_tpu.geometry import kitti
 from overlapnet_tpu.geometry.projection import (
     DEFAULT_MAX_POINTS,
+    MAX_RANGE,
     pad_points,
+    project_pixels,
     range_projection,
     transform_points,
 )
@@ -52,12 +54,14 @@ def load_scans_padded(
 
 
 @jax.jit
-def _ranges_chunk(points: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(K, P, 4) scans -> ((K, H, W) range images, (K,) valid-pixel counts)."""
+def _ranges_chunk(points: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(K, P, 4) scans -> ((K, H, W) range images, (K,) valid-pixel counts,
+    (K,) max point radius — used by the exact far-pair gate)."""
 
     def one(pts):
         rng_img, _, _, _ = range_projection(pts)
-        return rng_img, jnp.sum(rng_img > 0).astype(jnp.float32)
+        radius = jnp.max(jnp.linalg.norm(pts[:, :3], axis=1))
+        return rng_img, jnp.sum(rng_img > 0).astype(jnp.float32), radius
 
     return jax.vmap(one)(points)
 
@@ -71,13 +75,30 @@ def _pair_chunk(
     r_ids: jax.Array,       # (K,) reference frame ids
     transforms: jax.Array,  # (K, 4, 4) inv(pose_q) @ pose_r
 ) -> jax.Array:
-    """Overlap of K (query, reference) pairs, fully on device."""
+    """Overlap of K (query, reference) pairs, fully on device.
+
+    Overlap needs only the pass-1 min-depth z-buffer of the re-projected
+    reference scan (reference com_overlap_yaw.py:44-52 compares range
+    values), so this kernel skips ``range_projection``'s winner-index pass
+    and vertex/intensity gathers entirely: one scatter-min per pair.
+    min is associative, so the per-pixel value is bit-equal to
+    ``range_projection``'s proj_range wherever that is > 0, and the empty
+    (-1) pixels it would produce can never satisfy |ref - cur| < 1 with a
+    valid cur > 1 away — counts are exactly equal.
+    """
+    h, w = ranges_all.shape[1], ranges_all.shape[2]
+    n_pix = h * w
 
     def one(qi, ri, T):
         pts = transform_points(pts_all[ri], T)
-        ref_range, _, _, _ = range_projection(pts)
-        cur = ranges_all[qi]
-        close = (ref_range > 0) & (jnp.abs(ref_range - cur) < 1.0)
+        pix, depth, valid = project_pixels(pts)
+        win = (
+            jnp.full((n_pix,), jnp.inf, jnp.float32)
+            .at[pix]
+            .min(jnp.where(valid, depth, jnp.inf), mode="drop")
+        )
+        cur = ranges_all[qi].reshape(n_pix)
+        close = jnp.isfinite(win) & (jnp.abs(win - cur) < 1.0)
         return jnp.sum(close) / valid_all[qi]
 
     return jax.vmap(one)(q_ids, r_ids, transforms)
@@ -146,28 +167,44 @@ def com_overlap_yaw_all(
     range_chunk = min(chunk_size, n)
     ranges = []
     valids = []
+    radii = []
     for s in range(0, n, range_chunk):
         block = pts_dev[s : s + range_chunk]
         if block.shape[0] < range_chunk:
             block = jnp.concatenate(
                 [block, jnp.zeros((range_chunk - block.shape[0],) + block.shape[1:], block.dtype)]
             )
-        r, v = _ranges_chunk(block)
+        r, v, rad = _ranges_chunk(block)
         ranges.append(r)
         valids.append(v)
+        radii.append(rad)
     ranges_dev = jnp.concatenate(ranges)[:n]
     valid_dev = jnp.concatenate(valids)[:n]
+    # one small early sync: per-frame max point radius for the far-pair gate
+    radius_host = np.asarray(jnp.concatenate(radii))[:n]
 
     # (query, reference) pair chunks; pad the tail so shapes stay static
     q_ids = np.repeat(query_idxs, n).astype(np.int32)
     r_ids = np.tile(np.arange(n, dtype=np.int32), len(query_idxs))
     n_pairs = len(q_ids)
     inv_poses = np.linalg.inv(poses)
+
+    # Exact far-pair gate: every reference point sits within radius R of the
+    # reference origin, so its depth in the query frame is >= |t| - R; if
+    # that already exceeds the projection's max_range, no re-projected point
+    # is valid and the overlap is identically zero (reference utils.py:76
+    # range filter) — skip the dispatch. The 1 m slack absorbs the f32
+    # round-off between this f64 host check and the device kernel.
+    T_all = np.einsum("kij,kjl->kil", inv_poses[q_ids], poses[r_ids])
+    t_norm = np.linalg.norm(T_all[:, :3, 3], axis=1)
+    live = t_norm - radius_host[r_ids] < MAX_RANGE + 1.0
+    live_pos = np.flatnonzero(live)
+
     chunks = []
-    for s in range(0, n_pairs, chunk_size):
-        qc = q_ids[s : s + chunk_size]
-        rc = r_ids[s : s + chunk_size]
-        pad = chunk_size - len(qc)
+    for s in range(0, len(live_pos), chunk_size):
+        sel = live_pos[s : s + chunk_size]
+        qc, rc = q_ids[sel], r_ids[sel]
+        pad = chunk_size - len(sel)
         if pad:
             qc = np.concatenate([qc, np.zeros(pad, np.int32)])
             rc = np.concatenate([rc, np.zeros(pad, np.int32)])
@@ -177,7 +214,9 @@ def com_overlap_yaw_all(
             jnp.asarray(qc), jnp.asarray(rc), jnp.asarray(T),
         ))
     # single sync: fetch all chunk results at once
-    overlaps = np.concatenate(jax.device_get(chunks))[:n_pairs]
+    overlaps = np.zeros(n_pairs)
+    if chunks:
+        overlaps[live_pos] = np.concatenate(jax.device_get(chunks))[: len(live_pos)]
 
     yaws = _relative_yaws(poses[q_ids], poses[r_ids])
     half = leg_output_width // 2

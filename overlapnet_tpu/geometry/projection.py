@@ -51,6 +51,44 @@ def pad_points(points: np.ndarray, max_points: int = DEFAULT_MAX_POINTS) -> np.n
     return out
 
 
+def project_pixels(
+    points: jax.Array,
+    *,
+    proj_h: int = PROJ_H,
+    proj_w: int = PROJ_W,
+    fov_up: float = FOV_UP_DEG,
+    fov_down: float = FOV_DOWN_DEG,
+    max_range: float = MAX_RANGE,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Spherical pixel mapping only: (N, 4) points -> (pix, depth, valid).
+
+    The shared coordinate core of ``range_projection`` (identical expression
+    sequence, so values are bit-equal): pix is the flat ``v * W + u`` pixel id
+    with invalid points routed to the overflow bucket ``H * W`` (dropped by
+    ``mode='drop'`` scatters). Used stand-alone by the GT overlap engine
+    (geometry/overlap.py), which needs only the pass-1 min-depth z-buffer.
+    """
+    fov_up_rad = fov_up / 180.0 * jnp.pi
+    fov_down_rad = fov_down / 180.0 * jnp.pi
+    fov = abs(fov_down_rad) + abs(fov_up_rad)
+
+    xyz = points[:, :3].astype(jnp.float32)
+    depth = jnp.linalg.norm(xyz, axis=1)
+    valid = (depth > 0) & (depth < max_range)
+
+    safe_depth = jnp.where(depth > 0, depth, 1.0)
+    yaw = -jnp.arctan2(xyz[:, 1], xyz[:, 0])
+    pitch = jnp.arcsin(jnp.clip(xyz[:, 2] / safe_depth, -1.0, 1.0))
+
+    proj_x = jnp.floor(0.5 * (yaw / jnp.pi + 1.0) * proj_w)
+    proj_x = jnp.clip(proj_x, 0, proj_w - 1).astype(jnp.int32)
+    proj_y = jnp.floor((1.0 - (pitch + abs(fov_down_rad)) / fov) * proj_h)
+    proj_y = jnp.clip(proj_y, 0, proj_h - 1).astype(jnp.int32)
+
+    pix = jnp.where(valid, proj_y * proj_w + proj_x, proj_h * proj_w)
+    return pix, depth, valid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("proj_h", "proj_w", "fov_up", "fov_down", "max_range"),
@@ -80,27 +118,17 @@ def range_projection(
     u = floor(0.5*(-atan2(y,x)/pi + 1) * W), v = floor((1 - (pitch +
     |fov_down|)/fov) * H), clamped; valid iff 0 < depth < max_range.
     """
-    fov_up_rad = fov_up / 180.0 * jnp.pi
-    fov_down_rad = fov_down / 180.0 * jnp.pi
-    fov = abs(fov_down_rad) + abs(fov_up_rad)
-
     xyz = points[:, :3].astype(jnp.float32)
     intensity = points[:, 3].astype(jnp.float32)
-    depth = jnp.linalg.norm(xyz, axis=1)
-    valid = (depth > 0) & (depth < max_range)
-
-    safe_depth = jnp.where(depth > 0, depth, 1.0)
-    yaw = -jnp.arctan2(xyz[:, 1], xyz[:, 0])
-    pitch = jnp.arcsin(jnp.clip(xyz[:, 2] / safe_depth, -1.0, 1.0))
-
-    proj_x = jnp.floor(0.5 * (yaw / jnp.pi + 1.0) * proj_w)
-    proj_x = jnp.clip(proj_x, 0, proj_w - 1).astype(jnp.int32)
-    proj_y = jnp.floor((1.0 - (pitch + abs(fov_down_rad)) / fov) * proj_h)
-    proj_y = jnp.clip(proj_y, 0, proj_h - 1).astype(jnp.int32)
-
+    pix, depth, valid = project_pixels(
+        points,
+        proj_h=proj_h,
+        proj_w=proj_w,
+        fov_up=fov_up,
+        fov_down=fov_down,
+        max_range=max_range,
+    )
     n_pix = proj_h * proj_w
-    # Invalid points go to an overflow bucket that the scatter drops.
-    pix = jnp.where(valid, proj_y * proj_w + proj_x, n_pix)
 
     # Deterministic z-buffer via two associative scatter-mins (a multi-key
     # sort of 140k points compiles pathologically slowly on TPU):

@@ -20,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_e2e_floors(tmp_path):
     from overlapnet_tpu.sim.e2e import run_e2e
 
-    m = run_e2e(str(tmp_path / "e2e"), n_frames=12, epochs=2, batch_size=4)
+    m = run_e2e(str(tmp_path / "e2e"), n_frames=12, epochs=4, batch_size=4)
     # learning happened
     assert m["trained_overlap_rms_error"] < m["untrained_overlap_rms_error"], m
     # detection works at toy scale

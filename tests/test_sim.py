@@ -144,3 +144,76 @@ def test_com_overlap_yaw_all_chunk_invariance(small_world, tmp_path):
     b = com_overlap_yaw_all(scan_paths, velo_poses, max_points=32_768,
                             chunk_size=25)  # = n_pairs: single chunk
     np.testing.assert_array_equal(a, b)
+
+
+def test_pair_kernel_matches_full_zbuffer(small_world):
+    """The GT pair kernel computes only the pass-1 min-depth z-buffer; its
+    overlap count must be bit-equal to the full range_projection formulation
+    (proj_range compare, reference com_overlap_yaw.py:44-46)."""
+    import jax.numpy as jnp
+
+    from overlapnet_tpu.geometry.overlap import _pair_chunk, _ranges_chunk
+    from overlapnet_tpu.geometry.projection import (
+        pad_points,
+        range_projection,
+        transform_points,
+    )
+    from overlapnet_tpu.sim.world import loop_trajectory, scan_at_pose
+
+    poses = loop_trajectory(4, side=30.0, laps=1.0)
+    rng = np.random.default_rng(3)
+    pts = np.stack([
+        pad_points(scan_at_pose(small_world, p, rng, max_points=12_000), 16_384)
+        for p in poses
+    ])
+    pts_dev = jnp.asarray(pts)
+    ranges, valids, radii = _ranges_chunk(pts_dev)
+    # scan_at_pose range-gates at 50 m before adding noise
+    assert float(jnp.max(radii)) <= 51.0
+
+    inv = np.linalg.inv(poses)
+    qc = np.array([0, 1, 2, 3], np.int32)
+    rc = np.array([2, 3, 0, 1], np.int32)
+    T = np.einsum("kij,kjl->kil", inv[qc], poses[rc]).astype(np.float32)
+    got = np.asarray(_pair_chunk(
+        pts_dev, ranges, valids, jnp.asarray(qc), jnp.asarray(rc),
+        jnp.asarray(T),
+    ))
+
+    for k in range(4):
+        cur = np.asarray(ranges[qc[k]])
+        moved = transform_points(pts_dev[rc[k]], jnp.asarray(T[k]))
+        ref_range = np.asarray(range_projection(moved)[0])
+        want = np.count_nonzero(
+            (ref_range > 0) & (np.abs(ref_range - cur) < 1.0)
+        ) / float(valids[qc[k]])
+        np.testing.assert_equal(got[k], np.float32(want))
+
+
+def test_far_pair_gate_exact(small_world, tmp_path):
+    """Pairs beyond max_range + scan radius are gated to overlap 0 without a
+    device dispatch; the gated result must equal the computed one."""
+    from overlapnet_tpu.geometry import kitti
+    from overlapnet_tpu.geometry.overlap import com_overlap_yaw_all
+
+    # two geometry clusters 400 m apart: cross-cluster pairs are gated
+    near = loop_trajectory(3, side=20.0, laps=1.0)
+    far = near.copy()
+    far[:, 0, 3] += 400.0
+    poses = np.concatenate([near, far])
+    far_world = small_world.copy()
+    far_world[:, 0] += 400.0
+    world = np.concatenate([small_world, far_world])
+    files = write_kitti_sequence(str(tmp_path), world, poses,
+                                 max_points=10_000)
+    scan_paths = kitti.load_files(files["scan_folder"])
+    velo_poses = kitti.poses_cam_to_velo(
+        kitti.load_poses(files["poses_file"]), np.eye(4)
+    )
+    gt = com_overlap_yaw_all(scan_paths, velo_poses, max_points=16_384)
+    n = len(poses)
+    table = gt[:, 2].reshape(n, n)
+    cross = table[:3, 3:]
+    assert np.all(cross == 0.0), cross
+    # self-overlap of every frame is 1.0 in both halves (computed, not gated)
+    np.testing.assert_allclose(np.diag(table), 1.0, atol=1e-6)
