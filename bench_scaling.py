@@ -167,7 +167,14 @@ def main() -> int:
             "db_pairs_per_sec": round(query_tput, 1),
             "db_efficiency": round(query_tput / (n * base_query), 3),
             "unit": "pairs/s",
+            "platform": devices[0].platform,
         }
+        if devices[0].platform == "cpu":
+            line["note"] = (
+                "virtual devices share physical host cores: total compute is "
+                "fixed, so efficiency cannot approach 1 here by construction "
+                "— this validates the sharded mechanism, not ICI scaling"
+            )
         if train_tput:
             line["train_pairs_per_sec"] = round(train_tput, 1)
             line["train_efficiency"] = round(train_tput / (n * base_train), 3)
