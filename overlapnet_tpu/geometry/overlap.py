@@ -41,7 +41,15 @@ def load_scans_padded(
     max_points: int = DEFAULT_MAX_POINTS,
     io_workers: int = 16,
 ) -> np.ndarray:
-    """Threaded load of a whole sequence into one (N, max_points, 4) array."""
+    """Load a whole sequence into one (N, max_points, 4) array.
+
+    Uses the native C++ parallel reader (native/batcher.cc ov_read_scans)
+    when built, else a Python thread pool."""
+    from overlapnet_tpu.data import native
+
+    if native.available():
+        return native.read_scans(list(scan_paths), max_points,
+                                 n_threads=io_workers)
 
     def load(path):
         return pad_points(kitti.load_scan(path).astype(np.float32), max_points)
