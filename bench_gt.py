@@ -31,7 +31,11 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--work-dir", default="/tmp/overlapnet_gt_bench")
-    ap.add_argument("--chunk-size", type=int, default=256)
+    ap.add_argument("--chunk-size", type=int, default=1024)
+    ap.add_argument("--side", type=float, default=150.0,
+                    help="trajectory square side [m]; 150 makes a ~600 m/lap "
+                         "path like KITTI 07, so the far-pair gate engages")
+    ap.add_argument("--laps", type=float, default=3.0)
     ap.add_argument("--max-points", type=int, default=130_000)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
@@ -49,13 +53,16 @@ def main() -> int:
         write_kitti_sequence,
     )
 
-    seq_dir = os.path.join(args.work_dir, f"seq_{args.frames}")
+    seq_dir = os.path.join(args.work_dir, f"seq_{args.frames}_{int(args.side)}")
     poses_file = os.path.join(seq_dir, "poses.txt")
     t0 = time.perf_counter()
     if not os.path.exists(poses_file):
         rng = np.random.default_rng(0)
-        world = make_world(rng)
-        poses = loop_trajectory(args.frames, laps=3.0)
+        extent = args.side / 2.0 + 60.0
+        world = make_world(rng, extent=extent,
+                           n_walls=int(60 * extent / 90),
+                           n_cylinders=int(80 * extent / 90))
+        poses = loop_trajectory(args.frames, side=args.side, laps=args.laps)
         write_kitti_sequence(seq_dir, world, poses, max_points=args.max_points)
     t_render = time.perf_counter() - t0
 
@@ -78,6 +85,11 @@ def main() -> int:
     t_gt = time.perf_counter() - t0
 
     n_pairs = len(gt)
+    # gated fraction (reporting only): pairs whose sensor separation alone
+    # already guarantees zero overlap (see overlap.py far-pair gate)
+    centers = poses[:, :3, 3]
+    d = np.linalg.norm(centers[:, None] - centers[None, :], axis=-1)
+    gated_frac = float(np.mean(d > 50.0 + 51.0))
     result = {
         "metric": "gt_all_pairs",
         "frames": n,
@@ -87,6 +99,7 @@ def main() -> int:
         "render_s": round(t_render, 1),
         "scan_io_s": round(t_io, 1),
         "gt_compute_s": round(t_gt, 1),
+        "approx_gated_fraction": round(gated_frac, 3),
         "pairs_per_sec": round(n_pairs / t_gt, 1),
         "frames_per_sec": round(n / t_gt, 2),
         "overlap_mean": round(float(gt[:, 2].mean()), 4),
