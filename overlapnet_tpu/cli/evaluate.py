@@ -108,7 +108,7 @@ def evaluate(cfg, params=None, pack_dir: str = "", max_pairs: int | None = None)
     )
     fvp = FeatureVolumePairs(fvs, idx1, idx2)
     pred_overlap = np.zeros(limit, np.float32)
-    pred_yaw = np.zeros(limit, np.int64)
+    pred_yaw = np.zeros(limit, np.float32)  # sub-bin peak positions
     s = 0
     for batch in fvp.batches(4096):
         k = batch["fa"].shape[0]
@@ -117,12 +117,20 @@ def evaluate(cfg, params=None, pack_dir: str = "", max_pairs: int | None = None)
         )
         s += k
 
+    # yaw metrics in physical degrees: peaks decode through the model's
+    # yaw_space, GT bins through the reference npz convention (ops/yaw.py).
+    from overlapnet_tpu.ops.yaw import peak_to_degrees, ref_bins_to_degrees
+
+    pred_deg = np.asarray(peak_to_degrees(pred_yaw, cfg.model))
+    true_deg = np.asarray(ref_bins_to_degrees(pairs.orientation, cfg.model))
     metrics = overlap_metrics(pred_overlap, pairs.overlap)
-    ym = yaw_metrics(pred_yaw, pairs.orientation, pairs.overlap, w)
+    ym = yaw_metrics(pred_deg, true_deg, pairs.overlap, 360)
     metrics.update({f"yaw_{k}" if not k.startswith("yaw") else k: v for k, v in ym.items()})
     results = {
         "pred_overlap": pred_overlap,
         "pred_orientation": pred_yaw,
+        "pred_yaw_deg": pred_deg,
+        "true_yaw_deg": true_deg,
         "true_overlap": np.asarray(pairs.overlap),
         "true_orientation": np.asarray(pairs.orientation),
         "pair_idx1": idx1,
@@ -178,16 +186,13 @@ def main(argv: list[str]) -> int:
         p1 = os.path.join(exp_dir, "overlap_error_histogram.png")
         plt.savefig(p1, dpi=150)
 
-        from overlapnet_tpu.models import leg_output_width
-
-        w = leg_output_width(cfg.model)
         mask = results["true_overlap"] > cfg.train.min_overlap_for_angle
-        d = np.abs(results["pred_orientation"] - results["true_orientation"])[mask]
-        circ = np.minimum(d, w - d)
+        d = np.abs(results["pred_yaw_deg"] - results["true_yaw_deg"])[mask]
+        circ = np.minimum(d, 360.0 - d)
         if len(circ):
             plt.figure()
-            plt.hist(circ, bins=min(90, w))
-            plt.xlabel("circular yaw error [bins]")
+            plt.hist(circ, bins=90)
+            plt.xlabel("circular yaw error [deg]")
             plt.ylabel("number of pairs")
             plt.savefig(os.path.join(exp_dir, "yaw_error_histogram.png"), dpi=150)
         logger.info("histograms -> %s", exp_dir)

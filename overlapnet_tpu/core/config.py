@@ -97,6 +97,18 @@ class ModelConfig:
     delta_head_impl: str = "xla"
     # Compute dtype for the forward pass ('float32' or 'bfloat16').
     compute_dtype: str = "float32"
+    # Yaw convention (ops/yaw.py): 'calibrated' places training targets at
+    # the bin where the correlation peak physically lands and decodes with
+    # the measured bins-per-degree factor (1.25 for the 900-col/stride-2
+    # geometry); 'reference' reproduces the reference's 1-bin-per-degree
+    # readout (infer.py:158), which over-reports yaw by 25%.
+    yaw_space: str = "calibrated"
+    # Compute dtype for the leg conv stack specifically; empty = inherit
+    # compute_dtype. Default bfloat16: the legs are MXU-bound and bf16 is
+    # ~55% faster on TPU (BENCH_SHOOTOUT_r03 leg_variants) while params and
+    # the pairwise heads stay float32; numerics are gated by the golden
+    # forward test (overlap drift < 5e-3, yaw argmax exact).
+    leg_dtype: str = "bfloat16"
 
 
 @dataclass
@@ -128,6 +140,20 @@ class TrainConfig:
     # Restrict the orientation CE to pairs with a labeled yaw bin
     # (overlap > min_overlap_for_angle); reference parity = False.
     mask_zero_orientation: bool = False
+    # Staged yaw training: epoch index from which the orientation CE's
+    # gradient is allowed through the legs (flips off
+    # ModelConfig.correlation_stop_gradient). -1 = never release. Joint
+    # training from scratch stalls overlap learning (TRAINABILITY_AB.json);
+    # releasing after overlap converges sharpens the correlation peak
+    # without that failure mode.
+    correlation_release_epoch: int = -1
+    # Adjust the yaw label for the rotate_data circular shift: the reference
+    # rolls the right image but leaves the label untouched (SURVEY.md §2
+    # quirk — its aug only helps overlap). With this on, the label moves by
+    # -round(shift * W'/W) bins (leg-output space), making the aug a
+    # legitimate yaw-training signal. Sign/scale property-tested in
+    # tests/test_models.py.
+    rotate_adjust_yaw_labels: bool = False
     # Host-side dtype of the image batch ('float32' | 'bfloat16'); bfloat16
     # halves host->device transfer, the bottleneck on a remote-TPU link.
     input_dtype: str = "float32"
@@ -243,6 +269,8 @@ def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
     m.correlation_method = model_raw.get("correlation_method", m.correlation_method)
     m.delta_head_impl = model_raw.get("delta_head_impl", m.delta_head_impl)
     m.compute_dtype = model_raw.get("compute_dtype", m.compute_dtype)
+    m.leg_dtype = model_raw.get("leg_dtype", m.leg_dtype)
+    m.yaw_space = model_raw.get("yaw_space", m.yaw_space)
 
     t = cfg.train
     t.learning_rate = float(raw.get("learning_rate", t.learning_rate))
@@ -260,6 +288,12 @@ def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
     t.grad_clip_norm = float(raw.get("grad_clip_norm", t.grad_clip_norm))
     t.input_dtype = str(raw.get("input_dtype", t.input_dtype))
     t.mask_zero_orientation = bool(raw.get("mask_zero_orientation", t.mask_zero_orientation))
+    t.correlation_release_epoch = int(
+        raw.get("correlation_release_epoch", t.correlation_release_epoch)
+    )
+    t.rotate_adjust_yaw_labels = bool(
+        raw.get("rotate_adjust_yaw_labels", t.rotate_adjust_yaw_labels)
+    )
 
     d = cfg.data
     d.data_root_folder = raw.get("data_root_folder", d.data_root_folder)

@@ -56,3 +56,30 @@ def leg_output_height(cfg) -> int:
     for _, _, (kh, _), (sh, _) in conv_specs(cfg):
         h = (h - kh) // sh + 1
     return h
+
+def width_stride(cfg) -> int:
+    """Total column stride of the leg stack (product of width strides).
+
+    The legs are translation-covariant at this granularity: rolling the
+    input panorama by ``s`` columns rolls the feature volume by
+    ``s / width_stride`` bins (measured on real scans,
+    tests/test_models.py::test_rolled_input_shifts_correlation_peak).
+    """
+    s = 1
+    for _, _, _, (_, sw) in conv_specs(cfg):
+        s *= sw
+    return s
+
+
+def bins_per_degree(cfg) -> float:
+    """Correlation-peak bins per degree of physical yaw.
+
+    The input range image is a full 360-degree panorama
+    (``input_width`` columns over 2*pi, geometry/projection.py), so one
+    degree = input_width/360 columns = input_width/(360*width_stride)
+    feature bins. For the reference geometry (900 cols, stride 2) this is
+    **1.25 — not 1**: the reference's ``yaw = 180 - argmax`` readout
+    (reference infer.py:158) carries a systematic 1.25x scale error that
+    the 'calibrated' yaw space (ModelConfig.yaw_space) corrects.
+    """
+    return cfg.input_width / (360.0 * width_stride(cfg))

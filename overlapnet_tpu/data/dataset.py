@@ -110,10 +110,20 @@ class PairImageDataset:
         rotate_data: int = 0,
         seed: int = 1234,
         packs: Mapping[str, "SequencePack"] | None = None,
+        adjust_yaw_labels: bool = False,
+        leg_output_width: int = 360,
     ):
         self.pairs = pairs
         self.width = width
         self.rotate_data = rotate_data
+        # Reference quirk: rotate_data rolls the right image but leaves the
+        # yaw label untouched (SURVEY.md §2), so the aug only serves overlap
+        # robustness. adjust_yaw_labels=True moves the label by
+        # -round(shift * W'/W) leg-output bins — rolling fb by +s' shifts the
+        # circular-correlation peak to argmax - s' (tests/test_models.py
+        # property test) — turning the same aug into yaw training signal.
+        self.adjust_yaw_labels = adjust_yaw_labels
+        self.leg_output_width = leg_output_width
         self._packs = packs or {}
         self._cache = _ScanCache(image_root, channels, height, width, packs)
         self._rng = random.Random(seed)
@@ -142,13 +152,26 @@ class PairImageDataset:
     def __len__(self) -> int:
         return len(self.pairs)
 
+    def _adjusted_orientation(self, idx: np.ndarray) -> np.ndarray:
+        """Yaw labels for pair indices ``idx``, shift-corrected when
+        ``adjust_yaw_labels`` is on (leg-output-bin space, see __init__)."""
+        ori = np.asarray(self.pairs.orientation[idx], np.int32)
+        if self.rotate_data > 0 and self.adjust_yaw_labels:
+            wp = self.leg_output_width
+            s_bins = np.round(
+                self._shifts[idx] * (wp / self.width)
+            ).astype(np.int32)
+            ori = np.mod(ori - s_bins, wp).astype(np.int32)
+        return ori
+
     def _example(self, i: int) -> tuple[np.ndarray, np.ndarray, float, int]:
         p = self.pairs
         x1 = self._cache.get(p.dir1[i], p.imgf1[i])
         x2 = self._cache.get(p.dir2[i], p.imgf2[i])
         if self.rotate_data > 0:
             x2 = np.roll(x2, int(self._shifts[i]), axis=1)
-        return x1, x2, float(p.overlap[i]), int(p.orientation[i])
+        ori = int(self._adjusted_orientation(np.asarray([i]))[0])
+        return x1, x2, float(p.overlap[i]), ori
 
     def batches(
         self,
@@ -231,7 +254,7 @@ class PairImageDataset:
                 "x1": x1,
                 "x2": x2,
                 "overlap": np.asarray(p.overlap[idx], np.float32),
-                "orientation": np.asarray(p.orientation[idx], np.int32),
+                "orientation": self._adjusted_orientation(idx),
             }
 
         def worker():
@@ -331,7 +354,7 @@ class ResidentPairs:
                 "i2": np.asarray(self.idx2[idx], np.int32),
                 "shift": np.asarray(shifts[idx], np.int32),
                 "overlap": np.asarray(p.overlap[idx], np.float32),
-                "orientation": np.asarray(p.orientation[idx], np.int32),
+                "orientation": ds._adjusted_orientation(idx),
             }
 
 

@@ -107,6 +107,8 @@ class DescriptorDB:
     def _scorer(self, bucket: int) -> Callable:
         if bucket not in self._jit_cache:
 
+            from overlapnet_tpu.ops.correlation import subbin_peak
+
             @jax.jit
             def score(params, fa, fb):
                 overlap, logits = self._head(params, fa, fb)
@@ -116,7 +118,7 @@ class DescriptorDB:
                 conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
                 return (
                     jnp.reshape(overlap, (-1,)),
-                    jnp.argmax(logits, axis=-1),
+                    subbin_peak(logits),  # float sub-bin peak (not raw argmax)
                     conf,
                 )
 
@@ -127,14 +129,15 @@ class DescriptorDB:
         self, fa: np.ndarray, fb: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Score explicit (n, W', C) left/right feature-volume batches;
-        returns (overlap (n,), yaw_bin_argmax (n,), yaw_confidence (n,)).
+        returns (overlap (n,), yaw_peak (n,) float sub-bin positions,
+        yaw_confidence (n,)).
 
         Pads to a power-of-two bucket so the jit cache stays small. This is
         the raw head entry point used with external volume stores (e.g. the
         evaluator's ``FeatureVolumePairs`` generator)."""
         n = fa.shape[0]
         if n == 0:
-            return (np.zeros(0, np.float32), np.zeros(0, np.int64),
+            return (np.zeros(0, np.float32), np.zeros(0, np.float32),
                     np.zeros(0, np.float32))
         b = _bucket(n)
         if b != n:
@@ -147,8 +150,8 @@ class DescriptorDB:
     def score_pairs(
         self, idx1: np.ndarray, idx2: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Score stored pairs; returns (overlap (n,), yaw_bin_argmax (n,),
-        yaw_confidence (n,))."""
+        """Score stored pairs; returns (overlap (n,), yaw_peak (n,) float
+        sub-bin positions, yaw_confidence (n,))."""
         idx1 = np.asarray(idx1, np.int64)
         idx2 = np.asarray(idx2, np.int64)
         return self.score_volumes(self._fv[idx1], self._fv[idx2])
@@ -164,7 +167,7 @@ class DescriptorDB:
         """
         k = len(candidate_idxs)
         if k == 0:
-            return (np.zeros(0, np.float32), np.zeros(0, np.int64),
+            return (np.zeros(0, np.float32), np.zeros(0, np.float32),
                     np.zeros(0, np.float32))
         b = _bucket(k)
         pad = b - k
@@ -334,6 +337,8 @@ class ShardedDescriptorDB:
         if key not in self._query_cache:
             d, head = self._n_dev, self._head
 
+            from overlapnet_tpu.ops.correlation import subbin_peak
+
             def q(params, fv_store, query_fv, mask):
                 rows = jax.lax.slice_in_dim(fv_store, 0, slots, axis=1)
                 flat = rows.reshape((d * slots,) + rows.shape[2:])
@@ -341,7 +346,7 @@ class ShardedDescriptorDB:
                 overlap, logits = head(params, flat, fb)
                 overlap = jnp.where(mask, jnp.reshape(overlap, (-1,)), -1.0)
                 conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
-                yaw = jnp.argmax(logits, axis=-1)
+                yaw = subbin_peak(logits)
                 if k is None:
                     return overlap, yaw, conf
                 vals, fidx = jax.lax.top_k(overlap, k)
@@ -404,7 +409,7 @@ class ShardedDescriptorDB:
         f = np.arange(d * slots)
         rows = (f % slots) * d + f // slots
         overlap = np.full(self.capacity, -1.0, np.float32)
-        yaw = np.zeros(self.capacity, np.int64)
+        yaw = np.zeros(self.capacity, np.float32)
         conf = np.zeros(self.capacity, np.float32)
         overlap[rows] = np.asarray(overlap_f)
         yaw[rows] = np.asarray(yaw_f)

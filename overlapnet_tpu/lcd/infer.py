@@ -121,9 +121,15 @@ class Infer:
 
     # -- the three reference entry points --------------------------------
 
-    def _yaw_degrees(self, yaw_bins: np.ndarray) -> np.ndarray:
-        # reference: yaw = 180 - argmax (infer.py:158), generalized to W'//2.
-        return self.output_size // 2 - yaw_bins
+    def _yaw_degrees(self, yaw_peaks: np.ndarray) -> np.ndarray:
+        # Decode sub-bin correlation peaks through the model's yaw_space
+        # (ops/yaw.py). 'reference' reproduces yaw = 180 - argmax
+        # (infer.py:158); 'calibrated' (default) divides by the measured
+        # bins-per-degree factor — the reference readout over-reports yaw
+        # by 25% for the 900-column stride-2 geometry.
+        from overlapnet_tpu.ops.yaw import peak_to_degrees
+
+        return np.asarray(peak_to_degrees(yaw_peaks, self.cfg.model))
 
     def infer_one(self, filepath1: str, filepath2: str):
         """Overlap and yaw for one scan pair; returns (overlap, yaw_deg)

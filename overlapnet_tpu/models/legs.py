@@ -41,7 +41,7 @@ class SiameseLegs(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        compute_dtype = jnp.dtype(self.cfg.compute_dtype)
+        compute_dtype = jnp.dtype(self.cfg.leg_dtype or self.cfg.compute_dtype)
         x = x.astype(compute_dtype)
         for name, features, kernel, strides in _conv_specs(self.cfg):
             x = nn.Conv(
@@ -59,4 +59,7 @@ class SiameseLegs(nn.Module):
                 f"Leg output height is {x.shape[1]}, expected 1 "
                 f"(input {self.cfg.input_height} rows)"
             )
-        return jnp.squeeze(x, axis=1)  # (B, W', 128)
+        # Feature volumes are always float32 downstream (descriptor DB rows,
+        # correlation peaks, delta head): only the conv stack runs in the
+        # reduced dtype; the cast back is free relative to the convs.
+        return jnp.squeeze(x, axis=1).astype(jnp.float32)  # (B, W', 128)

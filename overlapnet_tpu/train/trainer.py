@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from overlapnet_tpu.core.config import OverlapNetConfig
 from overlapnet_tpu.models import build_model, init_params, leg_output_width
+from overlapnet_tpu.ops.yaw import peak_to_degrees, ref_bins_to_degrees, target_bins
 from overlapnet_tpu.train.losses import combined_loss, orientation_target
 from overlapnet_tpu.train.schedule import reference_lr_schedule
 
@@ -100,7 +101,9 @@ def make_train_step(
     def loss_fn(params, batch):
         overlap_pred, orient_logits = model.apply(params, batch["x1"], batch["x2"])
         target_vec = orientation_target(
-            batch["orientation"], batch["overlap"], output_size
+            target_bins(batch["orientation"], cfg.model),
+            batch["overlap"],
+            output_size,
         )
         return combined_loss(
             overlap_pred,
@@ -166,7 +169,9 @@ def make_resident_train_step(
         x2 = jax.vmap(roll_one)(x2, batch["shift"])
         overlap_pred, orient_logits = model.apply(params, x1, x2)
         target_vec = orientation_target(
-            batch["orientation"], batch["overlap"], output_size
+            target_bins(batch["orientation"], cfg.model),
+            batch["overlap"],
+            output_size,
         )
         return combined_loss(
             overlap_pred,
@@ -207,13 +212,17 @@ def make_resident_train_step(
 
 
 def make_eval_step(cfg: OverlapNetConfig, mesh: Mesh | None = None):
-    """Jitted forward producing (overlap (B,), yaw_argmax (B,)) for the
-    validation metrics of the reference epoch loop (training.py:352-416)."""
+    """Jitted forward producing (overlap (B,), yaw peak (B,) float sub-bin
+    positions) for the validation metrics of the reference epoch loop
+    (training.py:352-416). The sub-bin parabolic peak replaces the raw
+    argmax (same convention as serving, ops.correlation.subbin_peak)."""
+    from overlapnet_tpu.ops.correlation import subbin_peak
+
     model = build_model(cfg.model)
 
     def eval_fn(params, batch):
         overlap_pred, orient_logits = model.apply(params, batch["x1"], batch["x2"])
-        return jnp.reshape(overlap_pred, (-1,)), jnp.argmax(orient_logits, axis=-1)
+        return jnp.reshape(overlap_pred, (-1,)), subbin_peak(orient_logits)
 
     if mesh is None:
         return jax.jit(eval_fn)
@@ -248,7 +257,25 @@ class Trainer:
                 lambda x: put_replicated(self.mesh, x), self.state
             )
         self.train_step = make_train_step(self.cfg, self.tx, self.mesh)
-        self.eval_step = make_eval_step(self.cfg)
+        self.eval_step = make_eval_step(self.cfg, self.mesh)
+
+    def _released_cfg(self) -> OverlapNetConfig:
+        """Config copy with the correlation stop-gradient lifted (staged yaw
+        training, TrainConfig.correlation_release_epoch)."""
+        return dataclasses.replace(
+            self.cfg,
+            model=dataclasses.replace(
+                self.cfg.model, correlation_stop_gradient=False
+            ),
+        )
+
+    def _release_active(self, epoch: int) -> bool:
+        r = self.cfg.train.correlation_release_epoch
+        return (
+            r >= 0
+            and epoch >= r
+            and self.cfg.model.correlation_stop_gradient
+        )
 
     # cap on dispatched-but-unfetched steps: bounds device memory held by
     # in-flight batches without paying a host<->device round trip per step
@@ -256,20 +283,34 @@ class Trainer:
     # dominates the epoch — the round-2 trainer did exactly that)
     pipeline_depth: int = 32
 
-    def run_epoch(self, batches) -> dict:
-        return self._run_loop(
-            batches, lambda b: self.train_step(self.state, b)
-        )
+    def run_epoch(self, batches, epoch: int = 0) -> dict:
+        if self._release_active(epoch):
+            if getattr(self, "_train_step_released", None) is None:
+                self._train_step_released = make_train_step(
+                    self._released_cfg(), self.tx, self.mesh
+                )
+            step = self._train_step_released
+        else:
+            step = self.train_step
+        return self._run_loop(batches, lambda b: step(self.state, b))
 
     def run_epoch_resident(
         self, resident, batch_size: int, epoch: int = 0, shuffle: bool = True
     ) -> dict:
         """Epoch over a data.dataset.ResidentPairs store: per-step host
         traffic is O(batch) integers; images never leave the device."""
-        if getattr(self, "_resident_step", None) is None:
-            self._resident_step = make_resident_train_step(
-                self.cfg, self.tx, self.mesh
-            )
+        if self._release_active(epoch):
+            if getattr(self, "_resident_step_released", None) is None:
+                self._resident_step_released = make_resident_train_step(
+                    self._released_cfg(), self.tx, self.mesh
+                )
+            step = self._resident_step_released
+        else:
+            if getattr(self, "_resident_step", None) is None:
+                self._resident_step = make_resident_train_step(
+                    self.cfg, self.tx, self.mesh
+                )
+            step = self._resident_step
         from overlapnet_tpu.parallel.mesh import shard_batch
 
         def batches():
@@ -280,7 +321,7 @@ class Trainer:
 
         return self._run_loop(
             batches(),
-            lambda b: self._resident_step(self.state, resident.images, b),
+            lambda b: step(self.state, resident.images, b),
         )
 
     def _run_loop(self, batches, step) -> dict:
@@ -318,16 +359,31 @@ class Trainer:
 
     def evaluate(self, batches, orientations=None, overlaps=None) -> dict:
         """Validation metrics over an iterable of eval batches (each with
-        x1, x2, overlap, orientation host arrays)."""
+        x1, x2, overlap, orientation host arrays). With a mesh, evaluation
+        is sharded over the 'data' axis like training (ragged batches are
+        padded to the mesh size and trimmed after; parity with the
+        single-device path is test-asserted)."""
         import numpy as np
 
         pred_overlap, pred_yaw, true_overlap, true_yaw = [], [], [], []
         for batch in batches:
-            ov, yaw = self.eval_step(
-                self.state.params, {"x1": batch["x1"], "x2": batch["x2"]}
-            )
-            pred_overlap.append(np.asarray(ov))
-            pred_yaw.append(np.asarray(yaw))
+            x1, x2 = np.asarray(batch["x1"]), np.asarray(batch["x2"])
+            n = x1.shape[0]
+            if self.mesh is not None:
+                from overlapnet_tpu.parallel.mesh import (
+                    pad_to_multiple,
+                    shard_batch,
+                )
+
+                d = self.mesh.shape["data"]
+                x1, _ = pad_to_multiple(x1, d)
+                x2, _ = pad_to_multiple(x2, d)
+                eval_in = shard_batch(self.mesh, {"x1": x1, "x2": x2})
+            else:
+                eval_in = {"x1": x1, "x2": x2}
+            ov, yaw = self.eval_step(self.state.params, eval_in)
+            pred_overlap.append(np.asarray(ov)[:n])
+            pred_yaw.append(np.asarray(yaw)[:n])
             true_overlap.append(np.asarray(batch["overlap"]))
             true_yaw.append(np.asarray(batch["orientation"]))
         pred_overlap = np.concatenate(pred_overlap)
@@ -337,10 +393,16 @@ class Trainer:
 
         from overlapnet_tpu.train.evaluate import overlap_metrics, yaw_metrics
 
+        # yaw metrics in physical degrees: predictions decode through the
+        # model's yaw_space (sub-bin peak -> degrees), GT bins through the
+        # reference npz convention. Circular wrap at 360 degrees.
+        pred_deg = np.asarray(peak_to_degrees(pred_yaw, self.cfg.model))
+        true_deg = np.asarray(ref_bins_to_degrees(true_yaw, self.cfg.model))
         metrics = overlap_metrics(pred_overlap, true_overlap)
-        w = leg_output_width(self.cfg.model)
         for thr in [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]:
-            m = yaw_metrics(pred_yaw, true_yaw, pred_overlap, w, overlap_threshold=thr)
+            m = yaw_metrics(
+                pred_deg, true_deg, pred_overlap, 360, overlap_threshold=thr
+            )
             if m:
                 metrics[f"yaw_rms@{thr}"] = m["rms_error"]
         return metrics

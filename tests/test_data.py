@@ -211,3 +211,39 @@ def test_feature_volume_pairs():
     assert len(batches) == 2
     np.testing.assert_allclose(batches[0]["fa"], fv[[0, 1]])
     np.testing.assert_allclose(batches[1]["fb"], fv[[0]])
+
+
+def test_rotate_adjust_yaw_labels(image_tree):
+    """adjust_yaw_labels moves the yaw label by -round(shift * W'/W) bins
+    (mod W') for every pair, identically in host batches, _example, and the
+    resident index stream."""
+    root, h, w = image_tree
+    pairs = _pairs()
+    wp = 5  # arbitrary label space for the tiny 12-col images
+    ds = PairImageDataset(
+        root, pairs, ChannelConfig(), height=h, width=w,
+        rotate_data=1, seed=7, adjust_yaw_labels=True, leg_output_width=wp,
+    )
+    ref = PairImageDataset(
+        root, pairs, ChannelConfig(), height=h, width=w,
+        rotate_data=1, seed=7,
+    )
+    (b,) = list(ds.batches(len(pairs)))
+    (b_ref,) = list(ref.batches(len(pairs)))
+    shifts = ds._shifts
+    expected = np.mod(
+        b_ref["orientation"] - np.round(shifts * (wp / w)).astype(np.int32), wp
+    )
+    np.testing.assert_array_equal(b["orientation"], expected)
+    # images themselves are identical (only the label moves)
+    np.testing.assert_array_equal(b["x2"], b_ref["x2"])
+    # _example agrees with the batch path
+    for i in range(len(pairs)):
+        assert ds._example(i)[3] == expected[i]
+    # resident stream agrees
+    from overlapnet_tpu.data.dataset import ResidentPairs
+
+    res = ResidentPairs(ds)
+    (rb,) = list(res.batches(len(pairs)))
+    np.testing.assert_array_equal(rb["orientation"], expected)
+    np.testing.assert_array_equal(rb["shift"], shifts)

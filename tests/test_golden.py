@@ -13,6 +13,8 @@ jax_default_matmul_precision=highest (same settings as this test); overlap
 tolerances absorb XLA-version drift, argmaxes are exact.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,8 +44,11 @@ def test_golden_forward_bundled_scans(bundled_scan_paths):
                 jnp.concatenate([r[..., None], normal_map(r, v)], axis=-1)[None]
             )
         cfg = OverlapNetConfig()
-        model = build_model(cfg.model)
-        params = init_params(cfg.model, 4, rng=0)
+        # the exact anchors pin the full-precision numeric path; the default
+        # config (bf16 legs) is gated separately below
+        mcfg32 = dataclasses.replace(cfg.model, leg_dtype="float32")
+        model = build_model(mcfg32)
+        params = init_params(mcfg32, 4, rng=0)
         fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
 
         for (i, j), (ov_g, argmax_g, lmean_g, lmax_g) in GOLDEN.items():
@@ -62,3 +67,16 @@ def test_golden_forward_bundled_scans(bundled_scan_paths):
         np.testing.assert_allclose(
             float(np.abs(fv).max()), GOLDEN_FV["absmax"], rtol=1e-3
         )
+
+        # default config (bfloat16 leg compute, ModelConfig.leg_dtype): the
+        # reduced-precision conv stack must stay within serving tolerance of
+        # the fp32 anchors — overlap drift < 5e-3 and exact yaw argmax.
+        model_bf = build_model(cfg.model)
+        assert cfg.model.leg_dtype == "bfloat16"
+        fwd_bf = jax.jit(lambda p, a, b: model_bf.apply(p, a, b))
+        for (i, j), (ov_g, argmax_g, _, _) in GOLDEN.items():
+            ov, logits = fwd_bf(params, imgs[i], imgs[j])
+            ov = float(np.asarray(ov)[0, 0])
+            lg = np.asarray(logits)[0]
+            assert abs(ov - ov_g) < 5e-3, (i, j, ov, ov_g)
+            assert int(lg.argmax()) == argmax_g, (i, j, int(lg.argmax()))

@@ -51,7 +51,9 @@ def test_descriptor_db_matches_direct_head(head_setup):
         params, fvs[idx1], fvs[idx2]
     )
     np.testing.assert_allclose(ov, np.asarray(direct_ov).ravel(), rtol=1e-4, atol=1e-5)
-    np.testing.assert_array_equal(yaw, np.argmax(np.asarray(direct_logits), axis=-1))
+    # yaw is the sub-bin parabolic peak: within half a bin of the argmax
+    argmax = np.argmax(np.asarray(direct_logits), axis=-1)
+    assert np.all(np.abs(yaw - argmax) <= 0.5), (yaw, argmax)
 
 
 def test_descriptor_db_query_left_right_convention(head_setup):

@@ -159,3 +159,45 @@ def test_cosine_correlation_head(small_model_cfg):
     _, self_orient = model.apply(params, x, x)
     w = leg_output_width(cfg)
     assert int(jnp.argmax(self_orient[0])) == w // 2
+
+
+def test_rolled_input_shifts_correlation_peak(bundled_scan_paths):
+    """Rolling the RIGHT image by +s columns moves the correlation peak by
+    -s/width_stride bins (NOT -s*W'/W): the legs are translation-covariant
+    at their total column stride (2), so the peak moves
+    input_width/(360*stride) = 1.25 bins per degree of yaw. This measured
+    factor is the basis of the 'calibrated' yaw space (ops/yaw.py) — the
+    reference's 1-bin-per-degree readout (infer.py:158) over-reports yaw
+    by exactly this ratio.
+
+    Uses a real bundled scan (the 900-column range image is a true 360-deg
+    panorama, so a circular column roll IS a yaw rotation); VALID convs make
+    the equivariance approximate at the receptive-field border, hence the
+    2-bin tolerance.
+    """
+    from overlapnet_tpu.core.config import OverlapNetConfig
+    from overlapnet_tpu.core.leg_specs import width_stride
+    from overlapnet_tpu.geometry import (
+        load_scan,
+        normal_map,
+        pad_points,
+        range_projection,
+    )
+
+    pts = jnp.asarray(pad_points(load_scan(bundled_scan_paths[0])))
+    r, v, _, _ = range_projection(pts)
+    img = np.asarray(jnp.concatenate([r[..., None], normal_map(r, v)], axis=-1))
+
+    cfg = OverlapNetConfig().model
+    wp, stride = leg_output_width(cfg), width_stride(cfg)
+    params = init_params(cfg, 4, rng=0)
+    model = build_model(cfg)
+    fwd = jax.jit(lambda p, a, b: model.apply(p, a, b))
+
+    for s in [0, 10, 250]:
+        rolled = np.roll(img, s, axis=1)
+        _, logits = fwd(params, jnp.asarray(img[None]), jnp.asarray(rolled[None]))
+        peak = int(np.argmax(np.asarray(logits)[0]))
+        expected = (wp // 2 - round(s / stride)) % wp
+        circ = min(abs(peak - expected), wp - abs(peak - expected))
+        assert circ <= 2, (s, peak, expected)

@@ -153,3 +153,69 @@ def test_delta_conv1_blocking_invariance():
     o1 = np.asarray(delta_conv1(jnp.asarray(a), jnp.asarray(b), jnp.asarray(kernel), block=24))
     o2 = np.asarray(delta_conv1(jnp.asarray(a), jnp.asarray(b), jnp.asarray(kernel), block=360))
     np.testing.assert_allclose(o1, o2, rtol=1e-5, atol=1e-5)
+
+
+def test_subbin_peak_recovers_fractional_vertex():
+    """Parabolic logits peaked between bins: subbin_peak returns the exact
+    vertex (the interpolation behind serving's continuous yaw output)."""
+    from overlapnet_tpu.ops.correlation import subbin_peak
+
+    w = 36
+    x = np.arange(w, dtype=np.float64)
+    for true in [10.3, 0.4, 35.6, 18.0]:
+        d = np.minimum(np.abs(x - true), w - np.abs(x - true))
+        logits = (-(d**2)).astype(np.float32)[None]
+        peak = float(subbin_peak(jnp.asarray(logits))[0])
+        circ = min(abs(peak - true), w - abs(peak - true))
+        assert circ < 1e-3, (true, peak)
+
+
+def test_subbin_peak_flat_and_integer():
+    from overlapnet_tpu.ops.correlation import subbin_peak
+
+    flat = jnp.zeros((1, 12))
+    assert float(subbin_peak(flat)[0]) == 0.0
+    # symmetric peak -> offset 0, returns the argmax exactly
+    logits = np.zeros((1, 12), np.float32)
+    logits[0, 5] = 3.0
+    logits[0, 4] = logits[0, 6] = 1.0
+    assert float(subbin_peak(jnp.asarray(logits))[0]) == 5.0
+
+
+def test_yaw_space_calibrated_roundtrip():
+    """GT (reference-format) bin -> calibrated target bin -> decoded degrees
+    must recover the physical yaw (within bin rounding) for |yaw| <= 144
+    (the alias-free range of the 900-col/stride-2 geometry)."""
+    from overlapnet_tpu.core.config import ModelConfig
+    from overlapnet_tpu.core.leg_specs import bins_per_degree
+    from overlapnet_tpu.ops.yaw import (
+        peak_to_degrees,
+        ref_bins_to_degrees,
+        target_bins,
+    )
+
+    mcfg = ModelConfig()  # yaw_space='calibrated'
+    assert abs(bins_per_degree(mcfg) - 1.25) < 1e-9
+    yaws = np.arange(-140, 141, 7)  # +/-144 exactly is the alias boundary
+    ref_bins = np.mod(180 - yaws, 360)  # reference GT binning (1 deg/bin)
+    np.testing.assert_allclose(
+        np.asarray(ref_bins_to_degrees(ref_bins, mcfg)), yaws, atol=1e-6
+    )
+    tgt = np.asarray(target_bins(jnp.asarray(ref_bins), mcfg))
+    dec = np.asarray(peak_to_degrees(tgt.astype(np.float32), mcfg))
+    err = np.abs(dec - yaws)
+    err = np.minimum(err, 360 - err)
+    assert err.max() <= 0.5 / 1.25 + 1e-4, err.max()  # f32 rounding slack
+
+
+def test_yaw_space_reference_is_identity():
+    from overlapnet_tpu.core.config import ModelConfig
+    from overlapnet_tpu.ops.yaw import peak_to_degrees, target_bins
+
+    mcfg = ModelConfig(yaw_space="reference")
+    bins = np.arange(0, 360, 17)
+    np.testing.assert_array_equal(np.asarray(target_bins(bins, mcfg)), bins)
+    # reference readout: 180 - argmax, wrapped
+    deg = np.asarray(peak_to_degrees(bins.astype(np.float32), mcfg))
+    expected = np.mod(180.0 - bins + 180.0, 360.0) - 180.0
+    np.testing.assert_allclose(deg, expected, atol=1e-5)

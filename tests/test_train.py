@@ -22,6 +22,10 @@ def small_cfg(batch_size=4):
     cfg = OverlapNetConfig()
     cfg.model.input_width = 360
     cfg.train.batch_size = batch_size
+    # Mechanism-parity tests (DP vs single device, resident vs host) compare
+    # numeric paths at float32 tolerances; the bf16 leg default is gated
+    # separately by test_golden's serving-tolerance check.
+    cfg.model = dataclasses.replace(cfg.model, leg_dtype="float32")
     return cfg
 
 
@@ -341,3 +345,52 @@ def test_resident_pairs_reconstruct_host_batches(tmp_path):
         np.testing.assert_allclose(hb["x2"], x2, rtol=1e-6)
         np.testing.assert_allclose(hb["overlap"], rb["overlap"])
         np.testing.assert_array_equal(hb["orientation"], rb["orientation"])
+
+
+def test_correlation_release_epoch_gates_leg_gradient():
+    """Staged yaw training: with correlation_stop_gradient on, the
+    orientation CE reaches the legs only from correlation_release_epoch on."""
+    from overlapnet_tpu.train.trainer import Trainer
+
+    cfg = small_cfg(batch_size=4)
+    cfg.model = dataclasses.replace(
+        cfg.model, correlation_stop_gradient=True,
+        correlation_normalize="cosine",
+    )
+    cfg.train.overlap_loss_weight = 0.0  # orientation CE is the only loss
+    cfg.train.orientation_loss_weight = 1.0
+    cfg.train.correlation_release_epoch = 1
+    cfg.train.optimizer = "adam"
+
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    batch = {k: jnp.asarray(v) for k, v in make_batch(cfg).items()}
+
+    k0 = np.asarray(trainer.state.params["params"]["legs"]["s_conv1"]["kernel"]).copy()
+    trainer.run_epoch(iter([batch]), epoch=0)
+    k1 = np.asarray(trainer.state.params["params"]["legs"]["s_conv1"]["kernel"])
+    np.testing.assert_array_equal(k0, k1)  # stop-gradient active
+
+    trainer.run_epoch(iter([batch]), epoch=1)
+    k2 = np.asarray(trainer.state.params["params"]["legs"]["s_conv1"]["kernel"])
+    assert not np.array_equal(k1, k2)  # released: CE now trains the legs
+
+
+def test_mesh_eval_matches_single_device():
+    """Sharded evaluation (mesh 'data' axis, padded ragged batches) must
+    reproduce the host-path metrics exactly."""
+    from overlapnet_tpu.parallel.mesh import make_mesh
+    from overlapnet_tpu.train.trainer import Trainer
+
+    cfg = small_cfg(batch_size=5)  # 5 rows: ragged vs the 8-device mesh
+    batch = make_batch(cfg, rng_seed=11)
+    batch["overlap"] = np.clip(batch["overlap"] + 0.5, 0, 1)  # some >0.7
+
+    t1 = Trainer(cfg, steps_per_epoch=1)
+    m1 = t1.evaluate([batch])
+
+    t8 = Trainer(cfg, steps_per_epoch=1, mesh=make_mesh(8))
+    m8 = t8.evaluate([batch])
+
+    assert set(m1) == set(m8)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=1e-5, atol=1e-6, err_msg=k)
