@@ -111,10 +111,15 @@ def main(argv: list[str]) -> int:
         width=cfg.model.input_width,
         packs=packs,
     )
+    from overlapnet_tpu.models import leg_output_width
+
     train_ds = PairImageDataset(
         cfg.data.image_root, pairs,
         rotate_data=cfg.train.rotate_training_data,
-        seed=cfg.train.seed, **ds_kwargs,
+        seed=cfg.train.seed,
+        adjust_yaw_labels=cfg.train.rotate_adjust_yaw_labels,
+        leg_output_width=leg_output_width(cfg.model),
+        **ds_kwargs,
     )
     val_ds = PairImageDataset(cfg.data.image_root, val_pairs, **ds_kwargs)
 

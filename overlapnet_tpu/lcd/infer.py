@@ -46,20 +46,43 @@ class Infer:
         reference (infer.py:117-122).
     """
 
-    def __init__(self, cfg: OverlapNetConfig, params=None, db_capacity: int = 8192):
+    def __init__(
+        self,
+        cfg: OverlapNetConfig,
+        params=None,
+        db_capacity: int = 8192,
+        mesh=None,
+    ):
         self.cfg = cfg
         self.output_size = leg_output_width(cfg.model)
         self.params = params if params is not None else self._load_params()
         self._leg_apply = jax.jit(make_leg_apply(cfg.model))
-        self._db = DescriptorDB(
-            make_head_apply(cfg.model),
-            self.params,
-            capacity=db_capacity,
-            width=self.output_size,
+        head_apply = make_head_apply(cfg.model)
+        # Map store: sharded over the mesh when one is given (the serving
+        # scaling axis, SURVEY.md §5), single-device otherwise. Explicit
+        # pair scoring (infer_one / M-vs-N) always goes through the small
+        # single-device scorer's shared jit cache.
+        self.mesh = mesh
+        if mesh is not None:
+            from overlapnet_tpu.lcd.descriptor_db import ShardedDescriptorDB
+
+            self._db = ShardedDescriptorDB(
+                head_apply, self.params, mesh,
+                capacity=db_capacity, width=self.output_size,
+                axis=mesh.axis_names[0],
+            )
+        else:
+            self._db = DescriptorDB(
+                head_apply, self.params,
+                capacity=db_capacity, width=self.output_size,
+            )
+        self._scorer = DescriptorDB(
+            head_apply, self.params, capacity=1, width=self.output_size
         )
         # frame-id -> db index; infer_multiple appends one embedding per call
         # so ids stay aligned like the reference's list (infer.py:184-185).
         self._frame_rows: dict[int, int] = {}
+        self._row_frames: dict[int, int] = {}
 
     # -- weights ---------------------------------------------------------
 
@@ -138,29 +161,91 @@ class Infer:
         f1 = os.path.basename(filepath1).replace(".bin", "")
         f2 = os.path.basename(filepath2).replace(".bin", "")
         fv = self.create_feature_volumes([f2, f1])
-        # score through the instance DB's shared jit cache (a throwaway
-        # DescriptorDB per call would re-trace the scorer every time)
-        overlap, yaw_bins, _ = self._db.score_volumes(fv[[0]], fv[[1]])
-        return overlap[0], self._yaw_degrees(yaw_bins)
+        # score through the instance scorer's shared jit cache (a throwaway
+        # DescriptorDB per call would re-trace every time)
+        overlap, yaw_peaks, _ = self._scorer.score_volumes(fv[[0]], fv[[1]])
+        return overlap[0], self._yaw_degrees(yaw_peaks)
 
-    def infer_multiple(self, current_frame_id: int, reference_frame_id: Sequence[int]):
+    def add_embedding(self, frame_id: int, fv: np.ndarray) -> int:
+        """Insert a precomputed (W', C) embedding for ``frame_id`` into the
+        map store (frame-id <-> row mapping maintained); returns the row.
+        Entry point for external embedders and mesh dry runs."""
+        row = self._db.add(fv)
+        self._frame_rows[int(frame_id)] = row
+        self._row_frames[row] = int(frame_id)
+        return row
+
+    def _embed_and_add(self, current_frame_id: int, fv=None) -> np.ndarray:
+        """Embed the current frame (unless ``fv`` is given), append it to
+        the map store, and record the frame-id <-> row mapping; returns the
+        embedding (host)."""
+        if fv is None:
+            name = str(current_frame_id).zfill(6)
+            fv = self.create_feature_volumes([name])[0]
+        fv = np.asarray(fv, np.float32)
+        self.add_embedding(current_frame_id, fv)
+        return fv
+
+    def infer_multiple(
+        self, current_frame_id: int, reference_frame_id: Sequence[int], fv=None
+    ):
         """Current frame versus already-seen frames (the LCD hot path,
         reference infer.py:162-203). Computes and caches the current frame's
         embedding; returns (overlaps, yaws, yaw_confidences) or None if no
         references."""
-        name = str(current_frame_id).zfill(6)
-        row = self._db.add(self.create_feature_volumes([name])[0])
-        self._frame_rows[int(current_frame_id)] = row
-
+        fv = self._embed_and_add(current_frame_id, fv)
         if len(reference_frame_id) == 0:
             return None
         ref_rows = np.array(
             [self._frame_rows[int(r)] for r in reference_frame_id], np.int64
         )
-        overlaps, yaw_bins, confs = self._db.query(
-            self._db.feature_volumes[row], ref_rows
+        if self.mesh is not None:
+            mask = np.zeros(self._db.capacity, bool)
+            mask[ref_rows] = True
+            ov_all, yaw_all, conf_all = self._db.query_all(fv, mask)
+            overlaps, yaw_peaks, confs = (
+                ov_all[ref_rows], yaw_all[ref_rows], conf_all[ref_rows]
+            )
+        else:
+            overlaps, yaw_peaks, confs = self._db.query(fv, ref_rows)
+        return overlaps, self._yaw_degrees(yaw_peaks), confs
+
+    def query_best(
+        self, current_frame_id: int, candidate_frame_ids: Sequence[int], fv=None
+    ):
+        """Embed + cache the current frame, then return the best candidate
+        as (match_frame_id, overlap, yaw_deg, confidence), or None when
+        there are no candidates.
+
+        This is the scalable serving entry point: on a mesh the candidate
+        mask and argmax stay on device (ShardedDescriptorDB.query_topk) and
+        only k=1 scalars cross to the host, instead of one score per
+        candidate like the reference's infer_multiple (infer.py:186-196)."""
+        fv = self._embed_and_add(current_frame_id, fv)
+        if len(candidate_frame_ids) == 0:
+            return None
+        rows = np.array(
+            [self._frame_rows[int(c)] for c in candidate_frame_ids], np.int64
         )
-        return overlaps, self._yaw_degrees(yaw_bins), confs
+        if self.mesh is not None:
+            mask = np.zeros(self._db.capacity, bool)
+            mask[rows] = True
+            vals, gids, yaw_peaks, confs = self._db.query_topk(
+                fv, k=1, candidate_mask=mask
+            )
+            best_row = int(gids[0])
+            overlap, yaw, conf = float(vals[0]), yaw_peaks[0], float(confs[0])
+        else:
+            overlaps, yaw_peaks, confs = self._db.query(fv, rows)
+            b = int(np.argmax(overlaps))
+            best_row = int(rows[b])
+            overlap, yaw, conf = float(overlaps[b]), yaw_peaks[b], float(confs[b])
+        return (
+            self._row_frames[best_row],
+            overlap,
+            float(np.asarray(self._yaw_degrees(yaw))),
+            conf,
+        )
 
     # -- serving-session checkpoint ---------------------------------------
 
@@ -185,6 +270,7 @@ class Infer:
         self._frame_rows = {
             int(i): int(r) for i, r in zip(data["frame_ids"], data["frame_rows"])
         }
+        self._row_frames = {r: i for i, r in self._frame_rows.items()}
         return n
 
     def infer_multiple_vs_multiple(
@@ -204,9 +290,9 @@ class Infer:
         if len(second_idxs) == 0:
             return None
         # reference pairs: left = second_idxs, right = first_idxs
-        # (infer.py:227-230); scored through the instance DB's shared jit
-        # cache — no per-call DescriptorDB, no retrace.
-        overlaps, yaw_bins, _ = self._db.score_volumes(
+        # (infer.py:227-230); scored through the instance scorer's shared
+        # jit cache — no per-call DescriptorDB, no retrace.
+        overlaps, yaw_peaks, _ = self._scorer.score_volumes(
             fv[np.asarray(second_idxs)], fv[np.asarray(first_idxs)]
         )
-        return overlaps, self._yaw_degrees(yaw_bins)
+        return overlaps, self._yaw_degrees(yaw_peaks)

@@ -82,18 +82,20 @@ class OnlineLoopCloser:
             self.inactive_dist,
         )
         candidates = np.flatnonzero(mask)
-        result = self.infer.infer_multiple(idx, candidates.tolist())
+        # query_best keeps the candidate argmax on device (top-k on the
+        # sharded map store when the Infer has a mesh); only the winning
+        # candidate's scalars come back to the host.
+        result = self.infer.query_best(idx, candidates.tolist())
         if result is None:
             return None
-        overlaps, yaws, confs = result
-        best = int(np.argmax(overlaps))
-        if overlaps[best] > self.overlap_threshold:
+        match_frame, overlap, yaw_deg, conf = result
+        if overlap > self.overlap_threshold:
             closure = LoopClosure(
                 frame=idx,
-                match=int(candidates[best]),
-                overlap=float(overlaps[best]),
-                yaw_deg=float(np.atleast_1d(yaws)[best]),
-                confidence=float(np.atleast_1d(confs)[best]),
+                match=int(match_frame),
+                overlap=float(overlap),
+                yaw_deg=float(yaw_deg),
+                confidence=float(conf),
             )
             self.closures.append(closure)
             return closure

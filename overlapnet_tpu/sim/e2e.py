@@ -180,10 +180,15 @@ def train_and_eval(cfg, gt_paths: dict, mesh=None) -> dict:
         height=cfg.model.input_height,
         width=cfg.model.input_width,
     )
+    from overlapnet_tpu.models import leg_output_width
+
     train_ds = PairImageDataset(
         cfg.data.image_root, pairs,
         rotate_data=cfg.train.rotate_training_data,
-        seed=cfg.train.seed, **ds_kwargs,
+        seed=cfg.train.seed,
+        adjust_yaw_labels=cfg.train.rotate_adjust_yaw_labels,
+        leg_output_width=leg_output_width(cfg.model),
+        **ds_kwargs,
     )
     val_ds = PairImageDataset(cfg.data.image_root, val_pairs, **ds_kwargs)
 
@@ -344,6 +349,7 @@ def run_e2e(
     model_overrides: dict | None = None,
     query_stride: int = 1,
     mesh=None,
+    **train_overrides,
 ) -> dict:
     """The full pipeline; returns a flat metrics dict (see module docstring)."""
     from overlapnet_tpu.models import leg_output_width
@@ -353,6 +359,7 @@ def run_e2e(
     cfg = make_config(
         work_dir, model_overrides,
         batch_size=batch_size, no_epochs=epochs, seed=seed,
+        **train_overrides,
     )
     gt_paths = build_gt(
         work_dir, files, poses,
@@ -390,12 +397,19 @@ if __name__ == "__main__":
     ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--release-epoch", type=int, default=-1,
+                    help="TrainConfig.correlation_release_epoch")
+    ap.add_argument("--rotate-data", type=int, default=0)
+    ap.add_argument("--adjust-yaw-labels", action="store_true")
     ap.add_argument("--out", default="", help="write the metrics JSON here")
     args = ap.parse_args()
 
     metrics = run_e2e(
         args.work_dir, n_frames=args.frames, epochs=args.epochs,
         batch_size=args.batch_size, seed=args.seed,
+        correlation_release_epoch=args.release_epoch,
+        rotate_training_data=args.rotate_data,
+        rotate_adjust_yaw_labels=args.adjust_yaw_labels,
     )
     line = json.dumps(metrics, default=float)
     print(line)

@@ -273,11 +273,11 @@ def test_infer_no_retrace_across_calls(infer_cfg):
     infer = Infer(infer_cfg, db_capacity=16)
     infer.infer_one("000000.bin", "000001.bin")
     infer.infer_multiple_vs_multiple(["000000", "000001"], [0], [1])
-    n_entries = len(infer._db._jit_cache)
+    n_entries = len(infer._scorer._jit_cache)
     for _ in range(3):
         infer.infer_one("000000.bin", "000002.bin")
         infer.infer_multiple_vs_multiple(["000001", "000002"], [0], [1])
-    assert len(infer._db._jit_cache) == n_entries
+    assert len(infer._scorer._jit_cache) == n_entries
 
 
 def test_online_loop_closer(infer_cfg):
@@ -350,3 +350,65 @@ def test_online_loop_closer_crash_resume(infer_cfg, tmp_path):
     np.testing.assert_array_equal(
         resumed.infer.feature_volumes, full.infer.feature_volumes
     )
+
+
+def test_sharded_query_topk_batch_matches_single(head_setup):
+    """One Q-query dispatch == Q single-query dispatches (per-query masks)."""
+    cfg, params, head_apply = head_setup
+    w = leg_output_width(cfg)
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    rng = np.random.default_rng(9)
+    fvs = rng.normal(size=(10, w, 128)).astype(np.float32)
+    sdb = ShardedDescriptorDB(head_apply, params, mesh, capacity=32, width=w)
+    sdb.add(fvs)
+
+    queries = fvs[[3, 7, 9]]
+    masks = np.zeros((3, 10), bool)
+    masks[0, :5] = True
+    masks[1, 2:9] = True
+    masks[2, :] = True
+    vals_b, ids_b, yaws_b, confs_b = sdb.query_topk_batch(
+        queries, k=2, candidate_mask=masks
+    )
+    assert vals_b.shape == (3, 2)
+    for qi in range(3):
+        vals, ids, yaws, confs = sdb.query_topk(
+            queries[qi], k=2, candidate_mask=masks[qi]
+        )
+        np.testing.assert_allclose(vals_b[qi], vals, rtol=1e-5)
+        np.testing.assert_array_equal(ids_b[qi], ids)
+        np.testing.assert_allclose(yaws_b[qi], yaws, rtol=1e-5, atol=1e-4)
+
+
+def test_online_loop_closer_mesh_matches_single(infer_cfg):
+    """The wired serving path on a mesh (ShardedDescriptorDB inside Infer,
+    device-side top-1) must produce the same closures as the single-device
+    engine."""
+    from overlapnet_tpu.lcd.infer import Infer
+    from overlapnet_tpu.lcd.online import OnlineLoopCloser
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    poses[1, 0, 3] = 100.0
+    poses[2, 0, 3] = 1.0
+    kwargs = dict(
+        covariances=None, inactive_time=1, inactive_dist=50.0,
+        overlap_threshold=-1.0,
+    )
+
+    single = OnlineLoopCloser(Infer(infer_cfg, db_capacity=16), poses, **kwargs)
+    expected = single.run()
+
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    meshed = OnlineLoopCloser(
+        Infer(infer_cfg, db_capacity=16, mesh=mesh), poses, **kwargs
+    )
+    got = meshed.run()
+
+    assert len(got) == len(expected) == 1
+    for a, b in zip(got, expected):
+        assert (a.frame, a.match) == (b.frame, b.match)
+        np.testing.assert_allclose(a.overlap, b.overlap, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(a.yaw_deg, b.yaw_deg, rtol=1e-3, atol=1e-3)
