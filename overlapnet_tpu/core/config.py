@@ -97,6 +97,16 @@ class ModelConfig:
     delta_head_impl: str = "xla"
     # Compute dtype for the forward pass ('float32' or 'bfloat16').
     compute_dtype: str = "float32"
+    # Width padding of the leg convs. 'valid' = reference parity
+    # (generateNet.py:119-219): the 900-col panorama collapses to a 360-bin
+    # feature window, so the correlation is NOT truly circular — yaw
+    # aliases beyond |144| degrees and equivariance breaks at the borders.
+    # 'circular' wrap-pads the width (the range image IS a 360-degree
+    # panorama), giving an exactly periodic 450-bin feature space: the
+    # correlation is genuinely circular, yaw is alias-free over the full
+    # +/-180 degrees, and input-roll equivariance is exact. Same layer
+    # names/kernel shapes (checkpoint-compatible).
+    leg_padding: str = "valid"
     # Yaw convention (ops/yaw.py): 'calibrated' places training targets at
     # the bin where the correlation peak physically lands and decodes with
     # the measured bins-per-degree factor (1.25 for the 900-col/stride-2
@@ -271,6 +281,7 @@ def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
     m.compute_dtype = model_raw.get("compute_dtype", m.compute_dtype)
     m.leg_dtype = model_raw.get("leg_dtype", m.leg_dtype)
     m.yaw_space = model_raw.get("yaw_space", m.yaw_space)
+    m.leg_padding = model_raw.get("leg_padding", m.leg_padding)
 
     t = cfg.train
     t.learning_rate = float(raw.get("learning_rate", t.learning_rate))

@@ -37,7 +37,19 @@ def conv_specs(cfg) -> list[tuple[str, int, tuple[int, int], tuple[int, int]]]:
 
 
 def leg_output_width(cfg) -> int:
-    """Static leg output width for an input of width cfg.input_width."""
+    """Static leg output width for an input of width cfg.input_width.
+
+    'circular' leg padding keeps the width periodic: W' = W / width_stride
+    (450 for the 900-col panorama) — the feature space covers the full
+    360 degrees with no border loss."""
+    if getattr(cfg, "leg_padding", "valid") == "circular":
+        w, s = cfg.input_width, width_stride(cfg)
+        if w % s:
+            raise ValueError(
+                f"circular legs need input_width divisible by the total "
+                f"width stride ({s}); got {w}"
+            )
+        return w // s
     w = cfg.input_width
     h = cfg.input_height
     for _, _, (kh, kw), (sh, sw) in conv_specs(cfg):

@@ -42,8 +42,18 @@ class SiameseLegs(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         compute_dtype = jnp.dtype(self.cfg.leg_dtype or self.cfg.compute_dtype)
+        circular = self.cfg.leg_padding == "circular"
         x = x.astype(compute_dtype)
         for name, features, kernel, strides in _conv_specs(self.cfg):
+            if circular:
+                # Wrap-pad the width (the image is a 360-degree panorama):
+                # out[j] covers columns j*sw .. j*sw+kw-1 mod W, so the
+                # feature space stays exactly periodic (W' = W/stride) and
+                # input-roll equivariance is exact — no border loss, no
+                # yaw aliasing (ModelConfig.leg_padding docstring).
+                kw = kernel[1]
+                if kw > 1:
+                    x = jnp.concatenate([x, x[:, :, : kw - 1, :]], axis=2)
             x = nn.Conv(
                 features=features,
                 kernel_size=kernel,

@@ -201,3 +201,43 @@ def test_rolled_input_shifts_correlation_peak(bundled_scan_paths):
         expected = (wp // 2 - round(s / stride)) % wp
         circ = min(abs(peak - expected), wp - abs(peak - expected))
         assert circ <= 2, (s, peak, expected)
+
+
+def test_circular_legs_exact_equivariance():
+    """'circular' leg padding: rolling the input panorama by s columns rolls
+    the feature volume by exactly s/stride bins — bit-exact, every layer
+    wrap-padded (the architecture fix for the valid-conv yaw aliasing)."""
+    from overlapnet_tpu.core.leg_specs import width_stride
+
+    cfg = ModelConfig(
+        input_width=360, leg_padding="circular", leg_dtype="float32"
+    )
+    assert leg_output_width(cfg) == 360 // width_stride(cfg)
+    params = init_params(cfg, 4, rng=0)
+    model = build_model(cfg)
+    enc = jax.jit(lambda p, x: model.apply(p, x, method=type(model).encode))
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 64, 360, 4)).astype(np.float32)
+    f0 = np.asarray(enc(params, jnp.asarray(img)))
+    for s in [2, 50, 358]:
+        fr = np.asarray(enc(params, jnp.asarray(np.roll(img, s, axis=2))))
+        np.testing.assert_array_equal(fr, np.roll(f0, s // 2, axis=1))
+
+
+def test_circular_legs_full_range_yaw_roundtrip():
+    """With circular legs the calibrated yaw space is alias-free over the
+    full +/-180 degrees (valid legs alias beyond 144)."""
+    from overlapnet_tpu.core.leg_specs import bins_per_degree
+    from overlapnet_tpu.ops.yaw import peak_to_degrees, target_bins
+
+    cfg = ModelConfig(input_width=900, leg_padding="circular")
+    w = leg_output_width(cfg)
+    assert w == 450 and abs(bins_per_degree(cfg) - 1.25) < 1e-9
+    yaws = np.arange(-179, 180, 13)
+    # GT npz bins at W'=450 resolution (0.8 deg/bin), reference formula
+    ref_bins = np.mod(w // 2 - np.round(yaws / (360.0 / w)), w).astype(int)
+    tgt = np.asarray(target_bins(jnp.asarray(ref_bins), cfg))
+    dec = np.asarray(peak_to_degrees(tgt.astype(np.float32), cfg))
+    err = np.abs(dec - yaws)
+    err = np.minimum(err, 360 - err)
+    assert err.max() < 0.5, err.max()
