@@ -53,7 +53,13 @@ def main() -> int:
         write_kitti_sequence,
     )
 
-    seq_dir = os.path.join(args.work_dir, f"seq_{args.frames}_{int(args.side)}")
+    # cache key covers every parameter that shapes the rendered sequence —
+    # a --laps/--max-points change must not silently reuse stale scans
+    # (ADVICE r3)
+    seq_dir = os.path.join(
+        args.work_dir,
+        f"seq_{args.frames}_{int(args.side)}_{args.laps:g}_{args.max_points}",
+    )
     poses_file = os.path.join(seq_dir, "poses.txt")
     t0 = time.perf_counter()
     if not os.path.exists(poses_file):

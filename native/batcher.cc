@@ -82,13 +82,21 @@ int ov_gather_batch(const float* src, int64_t n_src, int64_t h, int64_t w,
 int64_t ov_read_scan(const char* path, float* out, int64_t max_points) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  // reject corrupt files whose size is not a whole number of 16-byte
+  // records — the Python loader (kitti.load_scan) raises on these, and a
+  // silent partial-record accept would make behavior depend on whether the
+  // native library happens to be built
+  if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return -1; }
+  long fsize = std::ftell(f);
+  if (fsize < 0 || (fsize % (long)(sizeof(float) * 4)) != 0) {
+    std::fclose(f);
+    return -1;
+  }
+  std::rewind(f);
   std::memset(out, 0, sizeof(float) * max_points * 4);
   size_t got = std::fread(out, sizeof(float) * 4, (size_t)max_points, f);
-  // detect oversized scans: try reading one more record
-  float extra[4];
-  size_t more = std::fread(extra, sizeof(float) * 4, 1, f);
   std::fclose(f);
-  (void)more;  // truncation beyond capacity mirrors pad_points()
+  // truncation beyond capacity mirrors pad_points()
   return (int64_t)got;
 }
 

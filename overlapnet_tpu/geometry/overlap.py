@@ -107,7 +107,10 @@ def _pair_chunk(
         )
         cur = ranges_all[qi].reshape(n_pix)
         close = jnp.isfinite(win) & (jnp.abs(win - cur) < 1.0)
-        return jnp.sum(close) / valid_all[qi]
+        # max(valid, 1): a query frame with zero valid pixels (empty scan)
+        # gets overlap 0, consistent with the far-pair gate's 0 (the raw
+        # 0/0 would be NaN; ADVICE r3).
+        return jnp.sum(close) / jnp.maximum(valid_all[qi], 1.0)
 
     return jax.vmap(one)(q_ids, r_ids, transforms)
 
@@ -203,8 +206,12 @@ def com_overlap_yaw_all(
     # is valid and the overlap is identically zero (reference utils.py:76
     # range filter) — skip the dispatch. The 1 m slack absorbs the f32
     # round-off between this f64 host check and the device kernel.
-    T_all = np.einsum("kij,kjl->kil", inv_poses[q_ids], poses[r_ids])
-    t_norm = np.linalg.norm(T_all[:, :3, 3], axis=1)
+    # |R_q^T (t_r - t_q)| == |t_r - t_q|: the gate needs only translation
+    # norms, not the (n_pairs, 4, 4) relative-transform stack (~128 MB at
+    # 1000 frames; ADVICE r3) — per-chunk transforms are built lazily below.
+    t_norm = np.linalg.norm(
+        poses[r_ids][:, :3, 3] - poses[q_ids][:, :3, 3], axis=1
+    )
     live = t_norm - radius_host[r_ids] < MAX_RANGE + 1.0
     live_pos = np.flatnonzero(live)
 

@@ -75,3 +75,23 @@ def test_read_scans_real_scan():
 
     out = native.read_scans([scan], max_points=140_000)[0]
     np.testing.assert_array_equal(out, pad_points(load_scan(scan), 140_000))
+
+
+def test_native_reader_rejects_partial_record(tmp_path):
+    """A .bin whose size is not a whole number of 16-byte records must fail
+    in the native reader just like kitti.load_scan raises (ADVICE r3: no
+    silent zero-padding of corrupt data only when the library is built)."""
+    from overlapnet_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    good = tmp_path / "000000.bin"
+    np.arange(8, dtype=np.float32).tofile(good)  # 2 whole records
+    out = native.read_scans([str(good)], max_points=4)
+    assert out.shape == (1, 4, 4)
+    np.testing.assert_array_equal(out[0, :2].ravel(), np.arange(8))
+
+    bad = tmp_path / "000001.bin"
+    np.arange(9, dtype=np.float32).tofile(bad)  # 36 bytes: partial record
+    with pytest.raises(IOError):
+        native.read_scans([str(bad)], max_points=4)

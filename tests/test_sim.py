@@ -184,10 +184,14 @@ def test_pair_kernel_matches_full_zbuffer(small_world):
         cur = np.asarray(ranges[qc[k]])
         moved = transform_points(pts_dev[rc[k]], jnp.asarray(T[k]))
         ref_range = np.asarray(range_projection(moved)[0])
-        want = np.count_nonzero(
+        # compare integer close-pixel counts (exact), not the float ratio —
+        # host f64-then-cast division can differ from the device's f32
+        # division in the last ulp (ADVICE r3)
+        want_count = np.count_nonzero(
             (ref_range > 0) & (np.abs(ref_range - cur) < 1.0)
-        ) / float(valids[qc[k]])
-        np.testing.assert_equal(got[k], np.float32(want))
+        )
+        got_count = np.round(got[k] * float(valids[qc[k]]))
+        np.testing.assert_equal(got_count, want_count)
 
 
 def test_far_pair_gate_exact(small_world, tmp_path):
