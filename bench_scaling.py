@@ -211,8 +211,45 @@ def main() -> int:
     print(json.dumps({
         "metric": "query_capacity_flatness",
         "devices": len(devices),
+        "platform": devices[0].platform,
         "sweep": sweep,
         "flat": bool(sweep[-1]["ms_per_query"] < 3 * sweep[0]["ms_per_query"]),
+    }))
+
+    # --- multi-query amortization: per-query cost vs Q (SURVEY hard part
+    # #4) — one query_topk_batch dispatch scores Q queries x live rows, so
+    # the ~fixed dispatch/transfer overhead of a single query is split
+    # across Q. ---------------------------------------------------------
+    live = 256
+    sdb = ShardedDescriptorDB(
+        make_head_apply(cfg.model), params, mesh, capacity=1024, width=w
+    )
+    sdb.add(rng.normal(size=(live, w, 128)).astype(np.float32))
+    qsweep = []
+    for qn in (1, 4, 16, 32):
+        queries = rng.normal(size=(qn, w, 128)).astype(np.float32)
+        sdb.query_topk_batch(queries, k=8)  # compile
+        reps = 10
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            vals, _, _, _ = sdb.query_topk_batch(queries, k=8)
+        dt = (_time.perf_counter() - t0) / reps
+        assert vals.shape == (qn, 8)
+        qsweep.append({
+            "q": qn,
+            "ms_per_dispatch": round(dt * 1e3, 3),
+            "ms_per_query": round(dt * 1e3 / qn, 3),
+        })
+        print(f"# multi-query sweep: {qsweep[-1]}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "multi_query_amortization",
+        "devices": len(devices),
+        "platform": devices[0].platform,
+        "live_rows": live,
+        "sweep": qsweep,
+        "amortization_q32": round(
+            qsweep[0]["ms_per_query"] / qsweep[-1]["ms_per_query"], 2
+        ),
     }))
     return 0
 
