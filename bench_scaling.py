@@ -59,22 +59,40 @@ def main() -> int:
 
     import numpy as np
 
-    from overlapnet_tpu.core.jax_setup import enable_persistent_cache
+    from overlapnet_tpu.core.jax_setup import (
+        enable_persistent_cache,
+        maybe_initialize_distributed,
+    )
 
     enable_persistent_cache()
+    # 2-process mode: launch one copy per rank with OVERLAPNET_COORDINATOR /
+    # _NUM_PROCESSES / _PROCESS_ID set (same env-gated bootstrap as the CLIs)
+    maybe_initialize_distributed()
 
     import jax.numpy as jnp
 
     from bench import time_chained
     from overlapnet_tpu.core.config import OverlapNetConfig
     from overlapnet_tpu.models import leg_output_width, make_head_apply
-    from overlapnet_tpu.parallel.mesh import make_mesh
+    from overlapnet_tpu.parallel.mesh import (
+        make_mesh,
+        put_replicated,
+        put_sharded,
+    )
     from overlapnet_tpu.train.losses import combined_loss, orientation_target
     from overlapnet_tpu.train.trainer import create_train_state
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     devices = jax.devices()
-    counts = [n for n in [1, 2, 4, 8, 16] if n <= len(devices)]
+    # multi-process mode (env-gated jax.distributed bootstrap, same as the
+    # CLIs): every process runs this script with identical arguments; only
+    # full-mesh device counts are measured and placement goes through the
+    # mp-safe helpers.
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        counts = [len(devices)]
+    else:
+        counts = [n for n in [1, 2, 4, 8, 16] if n <= len(devices)]
     print(f"# platform={devices[0].platform} devices={len(devices)}",
           file=sys.stderr)
 
@@ -92,22 +110,20 @@ def main() -> int:
         mesh = make_mesh(n, devices=devices[:n])
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        params_d = jax.device_put(params, repl)
+        params_d = jax.tree.map(lambda a: put_replicated(mesh, a), params)
 
         # --- DP train-step throughput (per-device batch held fixed) ------
         train_tput = None
         b = args.batch_per_device * n
         batch = {
-            "x1": jax.device_put(
-                jnp.asarray(rng.normal(size=(b, 64, args.width, 4)),
-                            jnp.float32), data),
-            "x2": jax.device_put(
-                jnp.asarray(rng.normal(size=(b, 64, args.width, 4)),
-                            jnp.float32), data),
-            "overlap": jax.device_put(
-                jnp.asarray(rng.uniform(size=(b,)), jnp.float32), data),
-            "orientation": jax.device_put(
-                jnp.asarray(rng.integers(0, w, size=(b,)), jnp.int32), data),
+            "x1": put_sharded(mesh, rng.normal(
+                size=(b, 64, args.width, 4)).astype(np.float32)),
+            "x2": put_sharded(mesh, rng.normal(
+                size=(b, 64, args.width, 4)).astype(np.float32)),
+            "overlap": put_sharded(
+                mesh, rng.uniform(size=(b,)).astype(np.float32)),
+            "orientation": put_sharded(
+                mesh, rng.integers(0, w, size=(b,)).astype(np.int32)),
         }
 
         from overlapnet_tpu.models import build_model
@@ -136,12 +152,8 @@ def main() -> int:
 
         # --- sharded descriptor-DB query throughput ----------------------
         rows = args.db_rows_per_device * n
-        fv = jax.device_put(
-            jnp.asarray(rng.normal(size=(rows, w, 128)), jnp.float32), data
-        )
-        q = jax.device_put(
-            jnp.asarray(rng.normal(size=(w, 128)), jnp.float32), repl
-        )
+        fv = put_sharded(mesh, rng.normal(size=(rows, w, 128)).astype(np.float32))
+        q = put_replicated(mesh, rng.normal(size=(w, 128)).astype(np.float32))
 
         def query_body(carry):
             fv_c, q_c, acc = carry
@@ -178,7 +190,9 @@ def main() -> int:
         if train_tput:
             line["train_pairs_per_sec"] = round(train_tput, 1)
             line["train_efficiency"] = round(train_tput / (n * base_train), 3)
-        print(json.dumps(line))
+        if jax.process_index() == 0:
+            line["processes"] = jax.process_count()
+            print(json.dumps(line))
 
     # --- capacity flatness: query cost must track live rows, not capacity --
     # (round-2 regression: query_all scored all `capacity` rows and shipped

@@ -26,7 +26,12 @@ from overlapnet_tpu.lcd.infer import Infer
 class LoopClosure:
     """One detected loop: query frame, matched frame, overlap, yaw degrees,
     and yaw confidence (softmax peak mass of the orientation logits — scales
-    the yaw information of the pose-graph edge, closures_to_edges)."""
+    the yaw information of the pose-graph edge, closures_to_edges).
+
+    ``yaw_deg`` is the yaw of ``frame`` expressed in ``match``'s frame,
+    i.e. yaw(inv(P_match) @ P_frame): serving scores candidates as the LEFT
+    leg and the query as the RIGHT (reference infer.py:186-190), and the
+    pose-graph edge (match -> frame) consumes exactly this measurement."""
 
     frame: int
     match: int

@@ -274,13 +274,31 @@ def run_lcd(cfg, params, poses: np.ndarray, gt_table: np.ndarray,
     from overlapnet_tpu.geometry.rotations import relative_yaw
 
     errs = []
+    details = []
     for c in tp:
-        true_yaw = np.degrees(relative_yaw(poses[c.frame], poses[c.match]))
+        # LoopClosure.yaw_deg convention: candidates are the LEFT leg and
+        # the query the RIGHT (reference infer.py:186-190), so the serving
+        # stack estimates yaw(inv(P_match) @ P_frame) — the pose of the
+        # current frame in the matched frame — which is exactly the
+        # measurement of the pose-graph edge (match -> frame,
+        # backend.closures_to_edges). The truth must use the same order;
+        # the reversed order silently scored every +/-90-degree closure as
+        # a ~180-degree error in earlier rounds.
+        true_yaw = np.degrees(relative_yaw(poses[c.match], poses[c.frame]))
         d = abs(c.yaw_deg - true_yaw) % 360.0
         errs.append(min(d, 360.0 - d))
+        details.append([
+            c.frame, c.match, round(c.overlap, 4),
+            round(float(gt_overlap[c.frame, c.match]), 4),
+            round(c.yaw_deg, 2), round(float(true_yaw), 2),
+            round(errs[-1], 2), round(c.confidence, 4),
+        ])
     yaw_rmse = float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan")
 
     return {
+        # per-TP rows [frame, match, pred_ov, gt_ov, pred_yaw, true_yaw,
+        # circ_err_deg, conf] — the diagnosis surface for yaw quality
+        "closure_details": details,
         "n_closures": len(closures),
         "true_positives": len(tp),
         "false_positives": len(fp),
