@@ -37,6 +37,12 @@ def main(argv: list[str]) -> int:
              "after every --checkpoint-every frames (crash recovery)",
     )
     ap.add_argument("--checkpoint-every", type=int, default=100)
+    ap.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="shard the descriptor map over an N-device mesh (0 = all "
+             "visible devices when >1, single-device store otherwise); the "
+             "per-frame query then runs device-side top-1 on the sharded DB",
+    )
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -52,7 +58,13 @@ def main(argv: list[str]) -> int:
     covs = kitti.load_covariances(d3["covariance_file"])
 
     n = args.frames if args.frames is not None else len(poses)
-    infer = Infer(net_cfg, db_capacity=max(16, n))
+    import jax
+
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    n_dev = args.mesh if args.mesh > 0 else len(jax.devices())
+    mesh = make_mesh(n_dev) if (args.mesh > 0 or n_dev > 1) else None
+    infer = Infer(net_cfg, db_capacity=max(16, n), mesh=mesh)
     closer = OnlineLoopCloser(infer, poses[:n], covariances=covs[:n])
     start = 0
     if args.session and os.path.exists(args.session):

@@ -175,7 +175,11 @@ def test_lcd_cli(net_yml, gt_generated, tmp_path):
             }
         }, f)
     out = str(tmp_path / "loops.npz")
+    # default on the 8-device test pool: the sharded descriptor map
     rc = cli_main(["lcd", str(demo_yml), "--out", out])
     assert rc == 0
     loops = np.load(out)
     assert "frame" in loops  # ran to completion (tiny seq: likely no loops)
+    # explicit mesh size
+    rc = cli_main(["lcd", str(demo_yml), "--out", out, "--mesh", "2"])
+    assert rc == 0
