@@ -33,16 +33,21 @@ def test_e2e_floors(tmp_path):
 
 
 def test_committed_results_meet_floors():
-    """The frozen full-scale artifact (RESULTS_r03.json) must satisfy the
-    BASELINE.md floors; regenerate with
-    python -m overlapnet_tpu.sim.e2e --work-dir <dir> --frames 128 --epochs 60.
-    """
-    path = os.path.join(REPO, "RESULTS_r03.json")
-    if not os.path.exists(path):
-        pytest.skip("RESULTS_r03.json not committed yet")
-    with open(path) as f:
+    """The newest frozen full-scale artifact (RESULTS_r*.json) must satisfy
+    the BASELINE.md floors; regenerate per BASELINE.md 'Reproduce'."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(REPO, "RESULTS_r*.json")))
+    if not paths:
+        pytest.skip("no RESULTS_r*.json committed yet")
+    with open(paths[-1]) as f:
         m = json.load(f)
     assert m["lcd_f1"] >= 0.9, m["lcd_f1"]
     assert m["lcd_precision"] >= 0.9
     assert m["trained_overlap_rms_error"] < 0.05
     assert m["ate_after_m"] < m["ate_before_m"]
+    if "lcd_yaw_rmse_deg" in m and paths[-1] >= os.path.join(
+        REPO, "RESULTS_r04.json"
+    ):
+        # round-4 floor: calibrated + circular yaw must stay tight on TPs
+        assert m["lcd_yaw_rmse_deg"] <= 15.0, m["lcd_yaw_rmse_deg"]
