@@ -167,6 +167,14 @@ class TrainConfig:
     # Host-side dtype of the image batch ('float32' | 'bfloat16'); bfloat16
     # halves host->device transfer, the bottleneck on a remote-TPU link.
     input_dtype: str = "float32"
+    # Device-resident training: number of optimizer steps fused into one
+    # dispatch (lax.scan over stacked index batches). On a remote-TPU link
+    # each dispatch costs ~the link latency (~20-30 ms), which dominates
+    # small-batch steps; K steps/dispatch amortizes it. 1 = one dispatch
+    # per step (reference-like loop). Keep 1 on the CPU backend — there is
+    # no dispatch latency to amortize and the scanned full-size train step
+    # costs minutes of XLA:CPU compile time.
+    steps_per_dispatch: int = 1
     seed: int = 1234
 
 

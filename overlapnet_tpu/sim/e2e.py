@@ -155,6 +155,11 @@ def make_config(work_dir: str, model_overrides: dict | None = None, **train_over
     cfg.train.optimizer = "adam"
     cfg.train.grad_clip_norm = 1.0
     cfg.train.mask_zero_orientation = True
+    # Fused multi-step dispatch pays off only where dispatches have real
+    # latency (the remote-TPU link); on CPU it is minutes of extra compile.
+    import jax
+
+    cfg.train.steps_per_dispatch = 1 if jax.default_backend() == "cpu" else 8
     # 1e-3 Adam still collapses the ReLUs on this net; 3e-4 trains stably
     # (established by the 128-pair overfit probe).
     cfg.train.learning_rate = 3e-4

@@ -142,16 +142,10 @@ def make_train_step(
     )
 
 
-def make_resident_train_step(
-    cfg: OverlapNetConfig,
-    tx: optax.GradientTransformation,
-    mesh: Mesh | None = None,
-):
-    """Train step over a device-resident scan store (data.dataset.
-    ResidentPairs): signature (state, images (N, H, W, C) on device,
-    batch {i1, i2, shift, overlap, orientation}). Pair gathers and the
-    rotate_data circular shift (host semantics: np.roll(x2, +shift, axis=1))
-    run inside the jitted step, so only O(batch) integers cross the link."""
+def _resident_step_fn(cfg: OverlapNetConfig, tx: optax.GradientTransformation):
+    """Raw (un-jitted) resident train step (state, images, batch) ->
+    (state, metrics); shared by the single-step and scanned-multi-step
+    wrappers."""
     model = build_model(cfg.model)
     output_size = leg_output_width(cfg.model)
     pos_weight = float(output_size)
@@ -196,6 +190,20 @@ def make_resident_train_step(
         metrics = {**metrics, "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
+    return step_fn
+
+
+def make_resident_train_step(
+    cfg: OverlapNetConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh | None = None,
+):
+    """Train step over a device-resident scan store (data.dataset.
+    ResidentPairs): signature (state, images (N, H, W, C) on device,
+    batch {i1, i2, shift, overlap, orientation}). Pair gathers and the
+    rotate_data circular shift (host semantics: np.roll(x2, +shift, axis=1))
+    run inside the jitted step, so only O(batch) integers cross the link."""
+    step_fn = _resident_step_fn(cfg, tx)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
@@ -205,6 +213,44 @@ def make_resident_train_step(
     }
     return jax.jit(
         step_fn,
+        in_shardings=(repl, repl, batch_shardings),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_resident_multi_step(
+    cfg: OverlapNetConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh | None = None,
+):
+    """K train steps per dispatch: ``lax.scan`` over stacked index batches.
+
+    On a remote-TPU link every dispatch costs ~the link latency, which at
+    small step times dominates the epoch (measured: 29 ms/step wall vs
+    ~9 ms compute at batch 32). Signature: (state, images,
+    batches {each (K, B, ...)}) -> (state, {losses (K,), grad_norm (K,)}).
+    Semantically identical to K sequential make_resident_train_step calls
+    (parity test in tests/test_train.py)."""
+    step_fn = _resident_step_fn(cfg, tx)
+
+    def multi_fn(state: TrainState, images, batches):
+        def body(s, batch):
+            s2, metrics = step_fn(s, images, batch)
+            return s2, (metrics["loss"], metrics["grad_norm"])
+
+        state, (losses, gnorms) = jax.lax.scan(body, state, batches)
+        return state, {"loss": losses, "grad_norm": gnorms}
+
+    if mesh is None:
+        return jax.jit(multi_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))
+    batch_shardings = {
+        k: data for k in ("i1", "i2", "shift", "overlap", "orientation")
+    }
+    return jax.jit(
+        multi_fn,
         in_shardings=(repl, repl, batch_shardings),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
@@ -294,67 +340,113 @@ class Trainer:
             step = self.train_step
         return self._run_loop(batches, lambda b: step(self.state, b))
 
+    def _resident_fns(self, released: bool, fused: bool):
+        """(single-step, K-step-or-None) jitted fns for the given release
+        state, cached per state (each compiled at most once)."""
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        cfg = self._released_cfg() if released else self.cfg
+        k1 = ("resident", released)
+        if k1 not in cache:
+            cache[k1] = make_resident_train_step(cfg, self.tx, self.mesh)
+        if not fused:
+            return cache[k1], None
+        k2 = ("resident_multi", released)
+        if k2 not in cache:
+            cache[k2] = make_resident_multi_step(cfg, self.tx, self.mesh)
+        return cache[k1], cache[k2]
+
     def run_epoch_resident(
         self, resident, batch_size: int, epoch: int = 0, shuffle: bool = True
     ) -> dict:
         """Epoch over a data.dataset.ResidentPairs store: per-step host
-        traffic is O(batch) integers; images never leave the device."""
-        if self._release_active(epoch):
-            if getattr(self, "_resident_step_released", None) is None:
-                self._resident_step_released = make_resident_train_step(
-                    self._released_cfg(), self.tx, self.mesh
-                )
-            step = self._resident_step_released
-        else:
-            if getattr(self, "_resident_step", None) is None:
-                self._resident_step = make_resident_train_step(
-                    self.cfg, self.tx, self.mesh
-                )
-            step = self._resident_step
+        traffic is O(batch) integers and K = TrainConfig.steps_per_dispatch
+        optimizer steps ride each dispatch (lax.scan); images never leave
+        the device."""
+        import numpy as np
+
+        k = max(1, self.cfg.train.steps_per_dispatch)
+        single, multi = self._resident_fns(self._release_active(epoch), k > 1)
         from overlapnet_tpu.parallel.mesh import shard_batch
 
-        def batches():
+        def put(b, stacked: bool):
+            if self.mesh is None:
+                return b
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if not stacked:
+                return shard_batch(self.mesh, b)
+            s = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            return jax.tree.map(lambda x: jax.device_put(x, s), b)
+
+        def grouped():
+            group = []
             for b in resident.batches(
                 batch_size, epoch=epoch, shuffle=shuffle, drop_remainder=True
             ):
-                yield shard_batch(self.mesh, b) if self.mesh is not None else b
+                if k == 1:  # no fusing: plain single-step dispatches
+                    yield ("single", put(b, False))
+                    continue
+                group.append(b)
+                if len(group) == k:
+                    stacked = {
+                        key: np.stack([g[key] for g in group])
+                        for key in group[0]
+                    }
+                    yield ("multi", put(stacked, True))
+                    group = []
+            for b in group:  # tail: single-step dispatches
+                yield ("single", put(b, False))
 
-        return self._run_loop(
-            batches(),
-            lambda b: step(self.state, resident.images, b),
-        )
+        def step(item):
+            kind, b = item
+            fn = multi if kind == "multi" else single
+            return fn(self.state, resident.images, b)
+
+        return self._run_loop(grouped(), step)
 
     def _run_loop(self, batches, step) -> dict:
+        """Drive dispatches from ``batches``; items may be plain batch dicts
+        (one step each) or ("multi", stacked-dict) tuples whose leaves have
+        a (K, B) leading shape (K fused steps)."""
         import time
 
         import numpy as np
 
-        losses = []  # device scalars; fetched once at epoch end
+        losses = []  # device scalars/vectors; fetched once at epoch end
         last_metrics = {}
         count = 0
         n_items = 0
         t0 = time.perf_counter()
         for batch in batches:
-            n_items += int(jax.tree.leaves(batch)[0].shape[0])
+            payload = batch[1] if isinstance(batch, tuple) else batch
+            fused = isinstance(batch, tuple) and batch[0] == "multi"
+            leaf = jax.tree.leaves(payload)[0]
+            n_items += int(np.prod(leaf.shape[:2]) if fused else leaf.shape[0])
             self.state, metrics = step(batch)
             losses.append(metrics["loss"])
             last_metrics = metrics
             count += 1
             if count % self.pipeline_depth == 0:
-                # real barrier: fetch a scalar. On remote-relay backends
-                # (axon) block_until_ready returns without draining the
-                # client queue, so an epoch's worth of dispatched batches
-                # piles up in host RAM (observed: OOM at ~130 GB).
-                losses[-1] = float(losses[-1])
+                # real barrier: fetch. On remote-relay backends (axon)
+                # block_until_ready returns without draining the client
+                # queue, so an epoch's worth of dispatched batches piles up
+                # in host RAM (observed: OOM at ~130 GB).
+                losses[-1] = np.asarray(losses[-1])
         if count:
-            losses = [float(v) for v in jax.device_get(losses)]
+            flat = np.concatenate(
+                [np.atleast_1d(np.asarray(v)) for v in jax.device_get(losses)]
+            )
             dt = time.perf_counter() - t0
             last_metrics = {
-                **{k: float(v) for k, v in last_metrics.items()},
-                "epoch_loss": float(np.mean(losses)),
-                "train_pairs_per_sec": n_items / dt,
-                "sec_per_step": dt / count,
+                k: np.asarray(v).ravel()[-1] for k, v in last_metrics.items()
             }
+            last_metrics.update(
+                epoch_loss=float(flat.mean()),
+                train_pairs_per_sec=n_items / dt,
+                sec_per_dispatch=dt / count,
+            )
         return {k: float(v) for k, v in last_metrics.items()}
 
     def evaluate(self, batches, orientations=None, overlaps=None) -> dict:

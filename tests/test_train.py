@@ -394,3 +394,56 @@ def test_mesh_eval_matches_single_device():
     assert set(m1) == set(m8)
     for k in m1:
         np.testing.assert_allclose(m1[k], m8[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_multi_step_dispatch_matches_single():
+    """K fused steps per dispatch (lax.scan) must produce exactly the same
+    parameters and losses as K sequential single-step dispatches."""
+    from overlapnet_tpu.data.dataset import ResidentPairs
+    from overlapnet_tpu.train.trainer import Trainer
+
+    class FakeResident:
+        """Minimal ResidentPairs stand-in: fixed images + index stream."""
+
+        def __init__(self, images, batches):
+            self.images = jnp.asarray(images)
+            self._batches = batches
+
+        def batches(self, batch_size, epoch=0, shuffle=True, drop_remainder=True):
+            return iter(self._batches)
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(6, 64, 360, 4)).astype(np.float32)
+    bs = 4
+    batches = []
+    for i in range(6):  # 6 steps: one full K=4 group + 2 tail singles
+        r = np.random.default_rng(i)
+        batches.append({
+            "i1": r.integers(0, 6, bs).astype(np.int32),
+            "i2": r.integers(0, 6, bs).astype(np.int32),
+            "shift": r.integers(0, 360, bs).astype(np.int32),
+            "overlap": r.uniform(size=bs).astype(np.float32),
+            "orientation": r.integers(0, 90, bs).astype(np.int32),
+        })
+    res = FakeResident(images, batches)
+
+    cfg1 = small_cfg(batch_size=bs)
+    cfg1.train.steps_per_dispatch = 1
+    t1 = Trainer(cfg1, steps_per_epoch=6)
+    m1 = t1.run_epoch_resident(res, bs)
+
+    cfgk = small_cfg(batch_size=bs)
+    cfgk.train.steps_per_dispatch = 4
+    tk = Trainer(cfgk, steps_per_epoch=6)
+    mk = tk.run_epoch_resident(res, bs)
+
+    # rtol 1e-5: the scanned body may fuse slightly differently than the
+    # standalone jit (same math, different op order in the last ulp)
+    np.testing.assert_allclose(m1["epoch_loss"], mk["epoch_loss"], rtol=1e-5)
+    # params: the scanned body fuses slightly differently than the
+    # standalone jit, and adagrad's 1/sqrt(accum) amplifies last-ulp
+    # differences over steps — identical step SEQUENCE is what we assert,
+    # at a tolerance far below one optimizer step's magnitude.
+    for a, b in zip(jax.tree.leaves(t1.state.params), jax.tree.leaves(tk.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=3e-4)
+    assert int(t1.state.step) == int(tk.state.step) == 6
