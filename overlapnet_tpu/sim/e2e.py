@@ -299,8 +299,13 @@ def run_lcd(cfg, params, poses: np.ndarray, gt_table: np.ndarray,
             round(errs[-1], 2), round(c.confidence, 4),
         ])
     yaw_rmse = float(np.sqrt(np.mean(np.square(errs)))) if errs else float("nan")
+    yaw_p = (
+        {f"yaw_err_p{p}_deg": float(np.percentile(errs, p)) for p in (50, 90, 99)}
+        if errs else {}
+    )
 
     return {
+        **yaw_p,
         # per-TP rows [frame, match, pred_ov, gt_ov, pred_yaw, true_yaw,
         # circ_err_deg, conf] — the diagnosis surface for yaw quality
         "closure_details": details,
