@@ -31,6 +31,11 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--out", default="loop_closures.npz")
     ap.add_argument("--plot", default="")
+    ap.add_argument("--animate", default="",
+                    help="save a demo3-style animated GIF of the run "
+                         "(trajectory + search ellipse + closures)")
+    ap.add_argument("--animate-frames", type=int, default=120,
+                    help="max animation frames (sequence is strided to fit)")
     ap.add_argument(
         "--session", default="",
         help="session checkpoint path: resumed from if it exists, written "
@@ -112,4 +117,63 @@ def main(argv: list[str]) -> int:
         plt.title(f"Loop closures ({len(closures)})")
         plt.savefig(args.plot, dpi=150)
         print(f"plot -> {args.plot}")
+
+    if args.animate:
+        # Animated view of the run (reference demo3_lcd.py:23-47
+        # AnimatedLCD): trajectory drawn incrementally, the 3-sigma search
+        # ellipse at the current frame, accepted closures as red chords.
+        # Rendered offline to a GIF (headless framework; PillowWriter needs
+        # no ffmpeg).
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.animation as animation
+        import matplotlib.pyplot as plt
+        from matplotlib.patches import Ellipse
+
+        from overlapnet_tpu.lcd.gating import CovarianceEllipse
+
+        xy = poses[:n, :2, 3]
+        by_frame = {}
+        for c in closures:
+            by_frame.setdefault(c.frame, []).append(c)
+        step_stride = max(1, n // min(n, args.animate_frames))
+        frames = list(range(0, n, step_stride))
+
+        fig, ax = plt.subplots(figsize=(7, 7))
+        pad = 10.0
+        ax.set_xlim(xy[:, 0].min() - pad, xy[:, 0].max() + pad)
+        ax.set_ylim(xy[:, 1].min() - pad, xy[:, 1].max() + pad)
+        ax.set_aspect("equal")
+        (traj_line,) = ax.plot([], [], "-", lw=1, color="C0")
+        (cur_pt,) = ax.plot([], [], "o", color="C1", ms=5)
+        chords = []
+
+        def update(i):
+            idx = frames[i]
+            traj_line.set_data(xy[: idx + 1, 0], xy[: idx + 1, 1])
+            cur_pt.set_data([xy[idx, 0]], [xy[idx, 1]])
+            for f in range(max(0, idx - step_stride + 1), idx + 1):
+                for c in by_frame.get(f, ()):
+                    chords.append(ax.plot(
+                        [xy[c.frame, 0], xy[c.match, 0]],
+                        [xy[c.frame, 1], xy[c.match, 1]],
+                        "r-", lw=0.8,
+                    )[0])
+            for p in list(ax.patches):
+                p.remove()
+            if covs is not None:
+                e = CovarianceEllipse.from_covariance(
+                    covs[idx][:2, :2], closer.nstd
+                )
+                ax.add_patch(Ellipse(
+                    xy[idx], e.width, e.height, angle=e.angle_deg,
+                    fill=False, color="C2", lw=1.0,
+                ))
+            ax.set_title(f"frame {idx} — {sum(len(v) for k, v in by_frame.items() if k <= idx)} closures")
+            return [traj_line, cur_pt]
+
+        anim = animation.FuncAnimation(fig, update, frames=len(frames))
+        anim.save(args.animate, writer=animation.PillowWriter(fps=10))
+        print(f"animation -> {args.animate}")
     return 0

@@ -180,6 +180,10 @@ def test_lcd_cli(net_yml, gt_generated, tmp_path):
     assert rc == 0
     loops = np.load(out)
     assert "frame" in loops  # ran to completion (tiny seq: likely no loops)
-    # explicit mesh size
-    rc = cli_main(["lcd", str(demo_yml), "--out", out, "--mesh", "2"])
+    # explicit mesh size + demo3-style animation output
+    gif = str(tmp_path / "lcd.gif")
+    rc = cli_main(["lcd", str(demo_yml), "--out", out, "--mesh", "2",
+                   "--animate", gif, "--animate-frames", "3"])
     assert rc == 0
+    import os
+    assert os.path.getsize(gif) > 0
