@@ -48,14 +48,20 @@ LAST_ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 RESULT: dict = {}
 
 
-def emit(final: bool = False) -> None:
-    if RESULT.get("value"):
+def emit(force: bool = False) -> None:
+    if RESULT.get("value") or force:
         print(json.dumps(RESULT), flush=True)
 
 
 def _on_term(signum, frame):
+    # emit whatever landed even if the headline has not — the output
+    # contract is "a timeout still leaves a JSON line on record"
     RESULT["interrupted"] = True
-    emit()
+    RESULT.setdefault("metric", "pairs_per_sec_per_chip")
+    RESULT.setdefault("value", 0)
+    RESULT.setdefault("unit", "pairs/s")
+    RESULT.setdefault("vs_baseline", 0.0)
+    emit(force=True)
     sys.exit(0)
 
 

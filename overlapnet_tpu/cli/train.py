@@ -184,7 +184,7 @@ def main(argv: list[str]) -> int:
                     resident, cfg.train.batch_size, epoch
                 )
             else:
-                metrics = trainer.run_epoch(device_batches(epoch))
+                metrics = trainer.run_epoch(device_batches(epoch), epoch=epoch)
         logger.info("epoch %d: loss %.5f", epoch, metrics.get("epoch_loss", float("nan")))
         step = int(trainer.state.step)
         writer.write(step, {**metrics, "epoch": epoch}, phase="train")

@@ -324,6 +324,22 @@ def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
     d.validationdata_npzfile = raw.get("validationdata_npzfile", d.validationdata_npzfile)
     d.testdata_npzfile = raw.get("testdata_npzfile", d.testdata_npzfile)
 
+    if (
+        t.rotate_adjust_yaw_labels
+        and t.rotate_training_data > 0
+        and m.yaw_space == "reference"
+    ):
+        # The shift-adjusted label moves by round(shift * W'/W) reference
+        # bins, which composes with the physical peak position only through
+        # yaw_space='calibrated'; under 'reference' the adjusted targets
+        # disagree with the equivariant peak by ~0.1 bins per shifted column
+        # — contradictory supervision (ADVICE r4).
+        raise ValueError(
+            "rotate_adjust_yaw_labels=True requires yaw_space='calibrated': "
+            "under yaw_space='reference' the shift-adjusted labels disagree "
+            "with the physically equivariant correlation peak"
+        )
+
     e = cfg.experiment
     e.experiments_path = raw.get("experiments_path", e.experiments_path)
     e.testname = raw.get("testname", e.testname)

@@ -388,22 +388,31 @@ class ShardedDescriptorDB:
             )
         return self._query_cache[key]
 
-    def _query_args(self, queries: np.ndarray, candidate_mask):
-        """(queries (Q, W, C), masks (Q, capacity), n_live) device inputs."""
+    def _query_args(self, queries: np.ndarray, candidate_mask, qb: int | None = None):
+        """(queries (Qb, W, C), masks (Qb, capacity), n_live) device inputs.
+
+        ``qb``: padded query-count bucket; pad rows carry an all-False
+        candidate mask (every score -1) so they cost nothing downstream."""
         from overlapnet_tpu.parallel.mesh import put_replicated
 
         qn = queries.shape[0]
+        qb = qn if qb is None else qb
         if candidate_mask is None:
-            cand = np.ones((qn, self.capacity), bool)
+            cand = np.zeros((qb, self.capacity), bool)
+            cand[:qn] = True
         else:
             candidate_mask = np.asarray(candidate_mask, bool)
             if candidate_mask.ndim == 1:
                 candidate_mask = np.broadcast_to(
                     candidate_mask, (qn,) + candidate_mask.shape
                 )
-            cand = np.zeros((qn, self.capacity), bool)
+            cand = np.zeros((qb, self.capacity), bool)
             m = min(candidate_mask.shape[1], self.capacity)
-            cand[:, :m] = candidate_mask[:, :m]
+            cand[:qn, :m] = candidate_mask[:, :m]
+        if qb != qn:
+            queries = np.concatenate(
+                [queries, np.zeros((qb - qn,) + queries.shape[1:], np.float32)]
+            )
         return (
             put_replicated(self._mesh, np.asarray(queries, np.float32)),
             put_replicated(self._mesh, cand),
@@ -423,14 +432,16 @@ class ShardedDescriptorDB:
         queries = np.asarray(queries, np.float32)
         if queries.ndim == 2:
             queries = queries[None]
+        qn = queries.shape[0]
+        qb = _bucket(qn, minimum=1)  # power-of-two Q bucket: bounded jit cache
         slots = self._slots_bucket(self._n)
         k = min(k, self._n_dev * slots)
-        fn = self._make_query(slots, k, queries.shape[0])
+        fn = self._make_query(slots, k, qb)
         vals, gid, yaw, conf = fn(
-            self._params, self._fv, *self._query_args(queries, candidate_mask)
+            self._params, self._fv, *self._query_args(queries, candidate_mask, qb)
         )
-        return (np.asarray(vals), np.asarray(gid),
-                np.asarray(yaw), np.asarray(conf))
+        return (np.asarray(vals)[:qn], np.asarray(gid)[:qn],
+                np.asarray(yaw)[:qn], np.asarray(conf)[:qn])
 
     def query_topk(
         self, query_fv: np.ndarray, k: int = 8,

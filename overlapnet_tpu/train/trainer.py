@@ -293,6 +293,16 @@ class Trainer:
     mesh: Mesh | None = None
 
     def __post_init__(self):
+        if (
+            self.cfg.train.rotate_adjust_yaw_labels
+            and self.cfg.train.rotate_training_data > 0
+            and self.cfg.model.yaw_space == "reference"
+        ):
+            raise ValueError(
+                "rotate_adjust_yaw_labels=True requires yaw_space="
+                "'calibrated' (shift-adjusted labels are contradictory "
+                "supervision in the reference yaw space)"
+            )
         self.state, self.tx = create_train_state(self.cfg, self.steps_per_epoch, self.cfg.train.seed)
         if self.mesh is not None:
             # explicit replicated placement (required in multi-process mode,
@@ -373,12 +383,14 @@ class Trainer:
         def put(b, stacked: bool):
             if self.mesh is None:
                 return b
-            from jax.sharding import NamedSharding, PartitionSpec
-
             if not stacked:
                 return shard_batch(self.mesh, b)
-            s = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-            return jax.tree.map(lambda x: jax.device_put(x, s), b)
+            from overlapnet_tpu.parallel.mesh import put_sharded_dim
+
+            # (K, B, ...) leaves: shard the batch dim, mp-safe
+            return jax.tree.map(
+                lambda x: put_sharded_dim(self.mesh, x, dim=1), b
+            )
 
         def grouped():
             group = []

@@ -25,7 +25,7 @@ def test_channel_sharded_head_matches_replicated():
     one chip."""
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = make_mesh(8, axis_names=("model",), devices=jax.devices("cpu"))
     rng = np.random.default_rng(0)
