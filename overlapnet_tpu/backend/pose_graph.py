@@ -103,24 +103,34 @@ def closures_to_edges(
     n_poses: int,
     yaw_information: float = 500.0,
     xy_information: float = 1e-2,
+    yaw_overlap_ramp: tuple[float, float] = (0.3, 0.7),
 ) -> PoseGraph:
     """Loop-closure edges from LCD results (lcd.online.LoopClosure).
 
     OverlapNet gives relative yaw only (no translation), so measurements are
     [0, 0, yaw] with high heading / near-zero translation information — a
     'same place, known heading change' constraint.
+
+    Yaw information per edge = yaw_information x confidence x overlap ramp:
+    the confidence is the detector's antipodal-aware yaw confidence (softmax
+    peak mass x flip margin, ops.correlation.yaw_confidence), so sharp but
+    180-degree-ambiguous peaks carry almost no heading weight; the overlap
+    ramp rises linearly over ``yaw_overlap_ramp`` (floor 0.2 at the low end)
+    because yaw accuracy degrades with overlap even when supervised there
+    (VERDICT r4 weak #2).
     """
     i = np.array([c.match for c in closures], np.int32)
     j = np.array([c.frame for c in closures], np.int32)
     z = np.zeros((len(i), 3))
     z[:, 2] = [np.radians(c.yaw_deg) for c in closures]
-    # yaw information scaled by the detector's yaw confidence (softmax peak
-    # mass): flat orientation logits contribute almost no heading constraint.
     confs = np.array([getattr(c, "confidence", 1.0) for c in closures])
+    lo, hi = yaw_overlap_ramp
+    ovs = np.array([getattr(c, "overlap", hi) for c in closures])
+    ramp = np.clip((ovs - lo) / max(hi - lo, 1e-9), 0.2, 1.0)
     infos = np.tile(
         np.diag([xy_information, xy_information, 0.0]), (len(i), 1, 1)
     )
-    infos[:, 2, 2] = yaw_information * confs
+    infos[:, 2, 2] = yaw_information * confs * ramp
     return PoseGraph(n_poses, i, j, z, infos)
 
 

@@ -45,8 +45,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument(
         "--mesh", type=int, default=0, metavar="N",
         help="shard the descriptor map over an N-device mesh (0 = all "
-             "visible devices when >1, single-device store otherwise); the "
-             "per-frame query then runs device-side top-1 on the sharded DB",
+             "visible devices); serving always runs the fused "
+             "single-dispatch frame step on the mesh store",
+    )
+    ap.add_argument(
+        "--no-mesh", action="store_true",
+        help="use the host-side DescriptorDB (two dispatches per frame; "
+             "debug/parity only — superlinear per-frame cost on long maps)",
     )
     args = ap.parse_args(argv)
 
@@ -68,21 +73,25 @@ def main(argv: list[str]) -> int:
     from overlapnet_tpu.parallel.mesh import make_mesh
 
     n_dev = args.mesh if args.mesh > 0 else len(jax.devices())
-    mesh = make_mesh(n_dev) if (args.mesh > 0 or n_dev > 1) else None
+    mesh = None if args.no_mesh else make_mesh(n_dev)
     infer = Infer(net_cfg, db_capacity=max(16, n), mesh=mesh)
     closer = OnlineLoopCloser(infer, poses[:n], covariances=covs[:n])
-    start = 0
     if args.session and os.path.exists(args.session):
         start = closer.resume(args.session)
         print(f"resumed session at frame {start} ({len(closer.closures)} closures)")
-    for idx in range(start, n):
-        closure = closer.step(idx)
-        if closure is not None:
+    # pipelined frame windows (closer.run overlaps device round trips);
+    # checkpoints land at window boundaries
+    printed = 0
+    while closer._next_frame < n:
+        end = min(n, closer._next_frame + args.checkpoint_every)
+        closer.run(end)
+        for closure in closer.closures[printed:]:
             print(
                 f"frame {closure.frame:6d} -> {closure.match:6d}  "
                 f"overlap {closure.overlap:.3f}  yaw {closure.yaw_deg:+.0f} deg"
             )
-        if args.session and (idx + 1) % args.checkpoint_every == 0:
+        printed = len(closer.closures)
+        if args.session:
             closer.save_checkpoint(args.session)
     if args.session:
         closer.save_checkpoint(args.session)

@@ -134,6 +134,13 @@ class TrainConfig:
     no_epochs: int = 100
     no_test_pairs: int = 100_000_000_000
     min_overlap_for_angle: float = 0.7
+    # Soft yaw supervision floor: when in [0, min_overlap_for_angle), the
+    # orientation CE's binarization becomes a linear ramp over the
+    # (soft, hard) overlap band (train/losses.py), so yaw is trained —
+    # with overlap-proportional weight — exactly where the LCD engine
+    # accepts closures (overlap > 0.3). -1 = reference-parity hard cutoff
+    # (yaw unsupervised below 0.7; measured ~50 deg RMS there, RESULTS_r04).
+    yaw_soft_overlap_min: float = -1.0
     # 0: no rotation aug; 1: fixed random shift per pair; 2: re-rolled each
     # epoch (reference ImagePairOverlapOrientationSequence.py:42-53).
     rotate_training_data: int = 0
@@ -301,6 +308,9 @@ def config_from_dict(raw: Mapping[str, Any]) -> OverlapNetConfig:
     t.no_test_pairs = int(raw.get("no_test_pairs", t.no_test_pairs))
     t.min_overlap_for_angle = float(
         raw.get("min_overlap_for_angle", t.min_overlap_for_angle)
+    )
+    t.yaw_soft_overlap_min = float(
+        raw.get("yaw_soft_overlap_min", t.yaw_soft_overlap_min)
     )
     t.rotate_training_data = int(raw.get("rotate_training_data", t.rotate_training_data))
     t.optimizer = str(raw.get("optimizer", t.optimizer))

@@ -107,15 +107,16 @@ class DescriptorDB:
     def _scorer(self, bucket: int) -> Callable:
         if bucket not in self._jit_cache:
 
-            from overlapnet_tpu.ops.correlation import subbin_peak
+            from overlapnet_tpu.ops.correlation import subbin_peak, yaw_confidence
 
             @jax.jit
             def score(params, fa, fb):
                 overlap, logits = self._head(params, fa, fb)
-                # yaw confidence: softmax mass at the peak bin (flat logits
-                # -> ~1/W, sharp peak -> ~1); feeds the pose-graph edge
-                # information (closures_to_edges).
-                conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+                # antipodal-aware yaw confidence: softmax peak mass x flip
+                # margin (ops.correlation.yaw_confidence) — feeds the
+                # pose-graph edge yaw information (closures_to_edges), and
+                # goes ~0 when a 180-degree-flipped peak competes.
+                conf = yaw_confidence(logits)
                 return (
                     jnp.reshape(overlap, (-1,)),
                     subbin_peak(logits),  # float sub-bin peak (not raw argmax)
@@ -352,7 +353,7 @@ class ShardedDescriptorDB:
             d, head = self._n_dev, self._head
             cap = self.capacity
 
-            from overlapnet_tpu.ops.correlation import subbin_peak
+            from overlapnet_tpu.ops.correlation import subbin_peak, yaw_confidence
 
             def q(params, fv_store, queries, cand, n_live):
                 rows_2d = jax.lax.slice_in_dim(fv_store, 0, slots, axis=1)
@@ -367,7 +368,7 @@ class ShardedDescriptorDB:
                     overlap, logits = head(params, flat, fb)
                     m = live & cand_row[jnp.minimum(gid, cap - 1)]
                     overlap = jnp.where(m, jnp.reshape(overlap, (-1,)), -1.0)
-                    conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+                    conf = yaw_confidence(logits)
                     yaw = subbin_peak(logits)
                     if k is None:
                         return overlap, yaw, conf
@@ -418,6 +419,89 @@ class ShardedDescriptorDB:
             put_replicated(self._mesh, cand),
             put_replicated(self._mesh, np.int32(self._n)),
         )
+
+    # -- fused serving frame step ------------------------------------------
+
+    def set_embedder(self, leg_apply: Callable) -> None:
+        """Register the leg apply fn (params, images (B,H,W,C)) -> (B,W',C')
+        used by :meth:`frame_step`."""
+        self._leg_embed = leg_apply
+        self._frame_cache: dict[int, Callable] = {}
+
+    def _frame_stepper(self, slots: int) -> Callable:
+        if slots not in self._frame_cache:
+            d, head, leg = self._n_dev, self._head, self._leg_embed
+            cap = self.capacity
+
+            from overlapnet_tpu.ops.correlation import subbin_peak, yaw_confidence
+
+            def step(params, fv_store, image, dev, slot, cand, n_live):
+                fv = leg(params, image[None])[0].astype(jnp.float32)
+                fv_store = fv_store.at[dev, slot].set(fv)
+                rows_2d = jax.lax.slice_in_dim(fv_store, 0, slots, axis=1)
+                flat = rows_2d.reshape((d * slots,) + rows_2d.shape[2:])
+                f = jax.lax.iota(jnp.int32, d * slots)
+                gid = (f % slots) * d + f // slots
+                live = gid < n_live
+                fb = jnp.broadcast_to(fv[None], flat.shape)
+                overlap, logits = head(params, flat, fb)
+                m = live & cand[jnp.minimum(gid, cap - 1)]
+                overlap = jnp.where(m, jnp.reshape(overlap, (-1,)), -1.0)
+                val, fidx = jax.lax.top_k(overlap, 1)
+                g = (fidx % slots) * d + fidx // slots
+                yaw = subbin_peak(logits)[fidx]
+                conf = yaw_confidence(logits)[fidx]
+                return fv_store, val[0], g[0], yaw[0], conf[0]
+
+            self._frame_cache[slots] = jax.jit(
+                step,
+                in_shardings=(
+                    self._repl, self._shard, self._repl, self._repl,
+                    self._repl, self._repl, self._repl,
+                ),
+                out_shardings=(self._shard,) + (self._repl,) * 4,
+                donate_argnums=(1,),
+            )
+        return self._frame_cache[slots]
+
+    def frame_step(
+        self, image: np.ndarray, candidate_mask: np.ndarray | None
+    ) -> tuple[int, tuple]:
+        """Embed ``image``, append the embedding as the next row, and score
+        it against the masked live rows — ONE fused dispatch (VERDICT r4
+        ask #2: the per-frame serving cost is a single tunnel round trip,
+        not embed + insert + query). Requires :meth:`set_embedder`.
+
+        Returns (row, (overlap, row_id, yaw_peak, yaw_conf) as device
+        scalars — fetch them lazily so frames can be pipelined; overlap is
+        -1 when no live/masked candidate exists). The candidate mask indexes
+        GLOBAL rows and naturally excludes the new row.
+        """
+        from overlapnet_tpu.parallel.mesh import put_replicated
+
+        row = self._n
+        if row >= self.capacity:
+            raise ValueError("ShardedDescriptorDB capacity exceeded")
+        slots = self._slots_bucket(max(self._n, 1))
+        fn = self._frame_stepper(slots)
+        if candidate_mask is None:
+            cand = np.zeros(self.capacity, bool)
+            cand[: self._n] = True
+        else:
+            cand = np.zeros(self.capacity, bool)
+            m = min(len(candidate_mask), self.capacity)
+            cand[:m] = np.asarray(candidate_mask[:m], bool)
+        self._fv, val, gid, yaw, conf = fn(
+            self._params,
+            self._fv,
+            put_replicated(self._mesh, np.asarray(image, np.float32)),
+            put_replicated(self._mesh, np.int32(row % self._n_dev)),
+            put_replicated(self._mesh, np.int32(row // self._n_dev)),
+            put_replicated(self._mesh, cand),
+            put_replicated(self._mesh, np.int32(self._n)),
+        )
+        self._n += 1
+        return row, (val, gid, yaw, conf)
 
     def query_topk_batch(
         self, queries: np.ndarray, k: int = 8,

@@ -33,6 +33,37 @@ from overlapnet_tpu.models import (
 )
 
 
+class PendingFrame:
+    """Deferred result of :meth:`Infer.dispatch_frame` — device scalars that
+    materialize on first access to :attr:`result` (None when the frame had
+    no candidates or nothing scored above -1)."""
+
+    def __init__(self, infer: "Infer", frame_id: int, n_candidates: int,
+                 arrays: tuple | None = None, resolved=None):
+        self._infer = infer
+        self.frame_id = frame_id
+        self._n_candidates = n_candidates
+        self._arrays = arrays
+        self._result = resolved
+        self._done = arrays is None
+
+    @property
+    def result(self):
+        """(match_frame_id, overlap, yaw_deg, confidence) or None."""
+        if not self._done:
+            val, gid, yaw, conf = (np.asarray(a) for a in self._arrays)
+            self._arrays = None
+            self._done = True
+            if self._n_candidates and float(val) > -1.0:
+                self._result = (
+                    self._infer._row_frames[int(gid)],
+                    float(val),
+                    float(np.asarray(self._infer._yaw_degrees(yaw))),
+                    float(conf),
+                )
+        return self._result
+
+
 class Infer:
     """Overlap + yaw inference between LiDAR scans.
 
@@ -255,6 +286,58 @@ class Infer:
             overlap,
             float(np.asarray(self._yaw_degrees(yaw))),
             conf,
+        )
+
+    # -- fused, pipelineable serving step ---------------------------------
+
+    def dispatch_frame(
+        self, current_frame_id: int, candidate_frame_ids: Sequence[int],
+        image: np.ndarray | None = None, fv=None,
+    ) -> "PendingFrame":
+        """Dispatch one serving frame WITHOUT blocking on the result.
+
+        On a mesh this is the fused single-dispatch step (embed + DB insert
+        + masked top-1 in one jitted program, ShardedDescriptorDB.
+        frame_step): the returned :class:`PendingFrame` holds device
+        scalars; call :meth:`PendingFrame.resolve` (or just ``.result``)
+        when the answer is needed. Because candidate gating depends only on
+        poses — not on earlier results — consecutive frames can be
+        dispatched back-to-back and resolved later, hiding the device
+        round-trip latency entirely (lcd.online.OnlineLoopCloser.run).
+
+        Off-mesh (or with a precomputed ``fv``) it degrades to the
+        synchronous query_best path, already resolved."""
+        n_cand = len(candidate_frame_ids)
+        if self.mesh is not None and fv is None:
+            if getattr(self._db, "_leg_embed", None) is None:
+                self._db.set_embedder(make_leg_apply(self.cfg.model))
+            if image is None:
+                image = self._load_image(current_frame_id)
+            mask = np.zeros(self._db.capacity, bool)
+            if n_cand:
+                rows = np.array(
+                    [self._frame_rows[int(c)] for c in candidate_frame_ids],
+                    np.int64,
+                )
+                mask[rows] = True
+            row, arrays = self._db.frame_step(image, mask)
+            self._frame_rows[int(current_frame_id)] = row
+            self._row_frames[row] = int(current_frame_id)
+            return PendingFrame(self, current_frame_id, n_cand, arrays=arrays)
+        result = self.query_best(
+            current_frame_id, candidate_frame_ids, fv=fv
+        )
+        return PendingFrame(self, current_frame_id, n_cand, resolved=result)
+
+    def _load_image(self, frame_id: int) -> np.ndarray:
+        name = str(frame_id).zfill(6)
+        return assemble_scan_image(
+            self.cfg.data.data_root_folder,
+            self.cfg.data.infer_seqs,
+            name,
+            self.cfg.channels,
+            self.cfg.model.input_height,
+            self.cfg.model.input_width,
         )
 
     # -- serving-session checkpoint ---------------------------------------

@@ -25,8 +25,10 @@ from overlapnet_tpu.lcd.infer import Infer
 @dataclass
 class LoopClosure:
     """One detected loop: query frame, matched frame, overlap, yaw degrees,
-    and yaw confidence (softmax peak mass of the orientation logits — scales
-    the yaw information of the pose-graph edge, closures_to_edges).
+    and antipodal-aware yaw confidence (softmax peak mass x flip margin,
+    ops.correlation.yaw_confidence — scales the yaw information of the
+    pose-graph edge, closures_to_edges; ~0 when a 180-degree-flipped
+    correlation peak competes with the winner).
 
     ``yaw_deg`` is the yaw of ``frame`` expressed in ``match``'s frame,
     i.e. yaw(inv(P_match) @ P_frame): serving scores candidates as the LEFT
@@ -60,10 +62,11 @@ class OnlineLoopCloser:
         self._traj_length = trajectory_lengths(self._positions)
         self._next_frame = 0
 
-    def step(self, idx: int) -> LoopClosure | None:
-        """Process frame ``idx`` (must be called for every frame in order so
-        the embedding cache stays index-aligned, demo3_lcd.py:88-89, 121-123).
-        Returns the accepted loop closure, if any."""
+    def _dispatch(self, idx: int):
+        """Gate candidates for frame ``idx`` and dispatch its (fused,
+        non-blocking) scoring step; returns the PendingFrame. Gating depends
+        only on poses/covariances — never on earlier results — which is what
+        makes frame pipelining legal."""
         assert idx == self._next_frame, (
             f"frames must be processed in order (expected {self._next_frame})"
         )
@@ -87,16 +90,16 @@ class OnlineLoopCloser:
             self.inactive_dist,
         )
         candidates = np.flatnonzero(mask)
-        # query_best keeps the candidate argmax on device (top-k on the
-        # sharded map store when the Infer has a mesh); only the winning
-        # candidate's scalars come back to the host.
-        result = self.infer.query_best(idx, candidates.tolist())
+        return self.infer.dispatch_frame(idx, candidates.tolist())
+
+    def _resolve(self, pending) -> LoopClosure | None:
+        result = pending.result
         if result is None:
             return None
         match_frame, overlap, yaw_deg, conf = result
         if overlap > self.overlap_threshold:
             closure = LoopClosure(
-                frame=idx,
+                frame=pending.frame_id,
                 match=int(match_frame),
                 overlap=float(overlap),
                 yaw_deg=float(yaw_deg),
@@ -106,11 +109,32 @@ class OnlineLoopCloser:
             return closure
         return None
 
-    def run(self, n_frames: int | None = None) -> list[LoopClosure]:
-        """Process all frames; returns the accepted loop closures."""
+    def step(self, idx: int) -> LoopClosure | None:
+        """Process frame ``idx`` synchronously (must be called for every
+        frame in order so the embedding cache stays index-aligned,
+        demo3_lcd.py:88-89, 121-123). Returns the accepted closure, if any.
+        For throughput, prefer :meth:`run` — it pipelines frames."""
+        return self._resolve(self._dispatch(idx))
+
+    def run(
+        self, n_frames: int | None = None, pipeline_depth: int = 8
+    ) -> list[LoopClosure]:
+        """Process all frames with up to ``pipeline_depth`` frames in
+        flight: frame i+1's gating needs only poses, so its fused step is
+        dispatched before frame i's result is fetched — the device round
+        trip (the whole serving cost on a remote-TPU link) overlaps across
+        frames instead of serializing. Results resolve in frame order;
+        closures are identical to the sequential loop."""
+        from collections import deque
+
         n = n_frames if n_frames is not None else len(self.poses)
+        pending: deque = deque()
         for idx in range(self._next_frame, n):
-            self.step(idx)
+            pending.append(self._dispatch(idx))
+            if len(pending) > pipeline_depth:
+                self._resolve(pending.popleft())
+        while pending:
+            self._resolve(pending.popleft())
         return self.closures
 
     # -- fault tolerance ---------------------------------------------------

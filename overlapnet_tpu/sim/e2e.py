@@ -238,7 +238,13 @@ def run_lcd(cfg, params, poses: np.ndarray, gt_table: np.ndarray,
     gt_overlap[q, r] = gt_table[:, 2]
 
     covs = kitti.load_covariances(covariance_file) if covariance_file else None
-    infer = Infer(cfg, params=params, db_capacity=max(16, n))
+    # 1-device mesh: serving goes through the fused single-dispatch frame
+    # step (the product path cli lcd uses); on the CPU test mesh a wider
+    # mesh would only replicate the leg compute across virtual devices.
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    infer = Infer(cfg, params=params, db_capacity=max(16, n),
+                  mesh=make_mesh(1))
     closer = OnlineLoopCloser(
         infer, poses, covariances=covs, overlap_threshold=overlap_threshold,
         inactive_time=min(100, n // 4), inactive_dist=50.0,
@@ -427,6 +433,12 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--release-epoch", type=int, default=-1,
                     help="TrainConfig.correlation_release_epoch")
+    ap.add_argument("--yaw-soft-min", type=float, default=-1.0,
+                    help="TrainConfig.yaw_soft_overlap_min (soft yaw "
+                    "supervision floor; -1 = reference hard cutoff)")
+    ap.add_argument("--circular-legs", action="store_true",
+                    help="ModelConfig.leg_padding='circular' (the flagship "
+                    "accuracy recipe, BASELINE.md)")
     ap.add_argument("--rotate-data", type=int, default=0)
     ap.add_argument("--adjust-yaw-labels", action="store_true")
     ap.add_argument("--out", default="", help="write the metrics JSON here")
@@ -435,9 +447,13 @@ if __name__ == "__main__":
     metrics = run_e2e(
         args.work_dir, n_frames=args.frames, epochs=args.epochs,
         batch_size=args.batch_size, seed=args.seed,
+        model_overrides=(
+            {"leg_padding": "circular"} if args.circular_legs else None
+        ),
         correlation_release_epoch=args.release_epoch,
         rotate_training_data=args.rotate_data,
         rotate_adjust_yaw_labels=args.adjust_yaw_labels,
+        yaw_soft_overlap_min=args.yaw_soft_min,
     )
     line = json.dumps(metrics, default=float)
     print(line)

@@ -52,6 +52,7 @@ def weighted_orientation_entropy(
     pos_weight: float,
     min_overlap_for_angle: float = 0.7,
     pair_mask: jax.Array | None = None,
+    soft_overlap_min: float = -1.0,
 ) -> jax.Array:
     """Weighted cross-entropy on yaw logits (training.py:86-92).
 
@@ -59,8 +60,26 @@ def weighted_orientation_entropy(
     element follows tf.nn.weighted_cross_entropy_with_logits:
       (1 - z) * x + (1 + (pos_weight - 1) * z) * log(1 + exp(-|x|)) + max(-x, 0) * ...
     reduced by mean over batch and bins (keras per-output mean).
+
+    ``soft_overlap_min`` in [0, min_overlap_for_angle) replaces the hard
+    binarization with a linear ramp z = clip((target - soft) / (hard -
+    soft), 0, 1): pairs in the (soft, hard) overlap band then carry an
+    overlap-proportional positive weight at their yaw bin instead of an
+    all-zero target. The reference's hard cutoff leaves yaw completely
+    unsupervised below 0.7 overlap, which is exactly where the LCD engine
+    accepts closures (threshold 0.3, demo3_lcd.py:55) — measured as a yaw-
+    accuracy cliff: 0.12 deg RMS above 0.7, ~50 deg below (RESULTS_r04,
+    VERDICT r4 weak #2). Default -1 = reference-parity hard binarization.
     """
-    z = (target > min_overlap_for_angle).astype(logits.dtype)
+    if 0.0 <= soft_overlap_min < min_overlap_for_angle:
+        z = jnp.clip(
+            (target - soft_overlap_min)
+            / (min_overlap_for_angle - soft_overlap_min),
+            0.0,
+            1.0,
+        ).astype(logits.dtype)
+    else:
+        z = (target > min_overlap_for_angle).astype(logits.dtype)
     x = logits
     log_weight = 1.0 + (pos_weight - 1.0) * z
     # numerically stable form used by TF:
@@ -89,22 +108,25 @@ def combined_loss(
     overlap_weight: float = 5.0,
     orientation_weight: float = 1.0,
     mask_zero_orientation: bool = False,
+    soft_overlap_min: float = -1.0,
 ):
     """Total loss = 5 * overlap + 1 * orientation (training.py:257).
 
     ``mask_zero_orientation`` restricts the orientation CE to pairs whose
-    overlap exceeds min_overlap_for_angle (the only ones with a labeled yaw
-    bin); reference parity = False (training.py:86-92 averages over all)."""
+    overlap exceeds the yaw-label threshold (min_overlap_for_angle, or
+    soft_overlap_min when the soft ramp is active); reference parity =
+    False (training.py:86-92 averages over all)."""
     l_overlap = sigmoid_overlap_loss(overlap_pred, overlap_true)
-    pair_mask = (
-        overlap_true > min_overlap_for_angle if mask_zero_orientation else None
-    )
+    soft = 0.0 <= soft_overlap_min < min_overlap_for_angle
+    mask_thr = soft_overlap_min if soft else min_overlap_for_angle
+    pair_mask = overlap_true > mask_thr if mask_zero_orientation else None
     l_orient = weighted_orientation_entropy(
         orientation_logits,
         orientation_target_vec,
         pos_weight,
         min_overlap_for_angle,
         pair_mask=pair_mask,
+        soft_overlap_min=soft_overlap_min,
     )
     total = overlap_weight * l_overlap + orientation_weight * l_orient
     return total, {"loss": total, "overlap_loss": l_overlap, "orientation_loss": l_orient}

@@ -115,6 +115,7 @@ def make_train_step(
             overlap_weight=cfg.train.overlap_loss_weight,
             orientation_weight=cfg.train.orientation_loss_weight,
             mask_zero_orientation=cfg.train.mask_zero_orientation,
+            soft_overlap_min=cfg.train.yaw_soft_overlap_min,
         )
 
     def step_fn(state: TrainState, batch):
@@ -177,6 +178,7 @@ def _resident_step_fn(cfg: OverlapNetConfig, tx: optax.GradientTransformation):
             overlap_weight=cfg.train.overlap_loss_weight,
             orientation_weight=cfg.train.orientation_loss_weight,
             mask_zero_orientation=cfg.train.mask_zero_orientation,
+            soft_overlap_min=cfg.train.yaw_soft_overlap_min,
         )
 
     def step_fn(state: TrainState, images, batch):

@@ -412,3 +412,75 @@ def test_online_loop_closer_mesh_matches_single(infer_cfg):
         assert (a.frame, a.match) == (b.frame, b.match)
         np.testing.assert_allclose(a.overlap, b.overlap, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(a.yaw_deg, b.yaw_deg, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_frame_step_matches_sequential_path():
+    """The fused single-dispatch serving step (embed + insert + masked
+    top-1, ShardedDescriptorDB.frame_step) must match the sequential
+    embed-then-query path frame for frame (VERDICT r5 ask #2)."""
+    import jax as _jax
+
+    from overlapnet_tpu.lcd.infer import Infer
+    from overlapnet_tpu.models import make_leg_apply
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    cfg = OverlapNetConfig()
+    cfg.model = ModelConfig(input_width=360)
+    rng = np.random.default_rng(0)
+    n = 8
+    imgs = rng.normal(size=(n, 64, 360, 4)).astype(np.float32) * 0.1
+
+    fused = Infer(cfg, db_capacity=32, mesh=make_mesh(2))
+    seq = Infer(cfg, params=fused.params, db_capacity=32)
+    leg = _jax.jit(make_leg_apply(cfg.model))
+
+    pend, expected = [], []
+    for i in range(n):
+        cands = list(range(max(0, i - 6), max(0, i - 2)))
+        pend.append(fused.dispatch_frame(i, cands, image=imgs[i]))
+        fvi = np.asarray(leg(seq.params, imgs[i][None]))[0]
+        expected.append(seq.query_best(i, cands, fv=fvi))
+    for p, b in zip(pend, expected):
+        a = p.result
+        if a is None or b is None:
+            assert a == b, (a, b)
+            continue
+        assert a[0] == b[0], (a, b)
+        np.testing.assert_allclose(a[1], b[1], atol=2e-5)
+        np.testing.assert_allclose(a[2], b[2], atol=1e-3)
+        np.testing.assert_allclose(a[3], b[3], atol=2e-5)
+
+
+def test_pipelined_run_matches_sequential_steps(infer_cfg):
+    """run(pipeline_depth=4) == one step() per frame: pipelining only
+    overlaps device round trips, never changes results."""
+    from overlapnet_tpu.lcd.infer import Infer
+    from overlapnet_tpu.lcd.online import OnlineLoopCloser
+    from overlapnet_tpu.parallel.mesh import make_mesh
+
+    poses = np.tile(np.eye(4), (3, 1, 1))
+    poses[1, 0, 3] = 100.0
+    poses[2, 0, 3] = 1.0
+    kwargs = dict(
+        covariances=None, inactive_time=1, inactive_dist=50.0,
+        overlap_threshold=-1.0,
+    )
+
+    stepped = OnlineLoopCloser(
+        Infer(infer_cfg, db_capacity=16, mesh=make_mesh(2)), poses, **kwargs
+    )
+    for i in range(3):
+        stepped.step(i)
+
+    piped = OnlineLoopCloser(
+        Infer(infer_cfg, db_capacity=16, mesh=make_mesh(2)), poses, **kwargs
+    )
+    got = piped.run(pipeline_depth=4)
+
+    assert [(c.frame, c.match) for c in got] == [
+        (c.frame, c.match) for c in stepped.closures
+    ]
+    np.testing.assert_allclose(
+        [c.overlap for c in got], [c.overlap for c in stepped.closures],
+        rtol=1e-5,
+    )

@@ -2,6 +2,7 @@
 reference's inline self-tests, reformulated: RangePadding2D.py:44-93,
 NormalizedCorrelation2D.py:112-144)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -219,3 +220,41 @@ def test_yaw_space_reference_is_identity():
     deg = np.asarray(peak_to_degrees(bins.astype(np.float32), mcfg))
     expected = np.mod(180.0 - bins + 180.0, 360.0) - 180.0
     np.testing.assert_allclose(deg, expected, atol=1e-5)
+
+
+def test_flip_margin_detects_antipodal_ambiguity():
+    """flip_margin ~0 for a bimodal curve with equal antipodal peaks, ~1 for
+    a single sharp peak, and invariant to logit scale/offset (the learnable
+    correlation scale must not affect it)."""
+    import jax.numpy as jnp
+
+    from overlapnet_tpu.ops.correlation import flip_margin, yaw_confidence
+
+    w = 360
+    x = np.zeros(w, np.float32)
+    x[100] = 10.0
+    assert float(flip_margin(jnp.asarray(x))) > 0.95
+    # equal antipodal peak (within the +/-3-bin window)
+    y = x.copy()
+    y[(100 + w // 2 + 2) % w] = 9.9
+    assert float(flip_margin(jnp.asarray(y))) < 0.02
+    # scale/offset invariance
+    m1 = float(flip_margin(jnp.asarray(y)))
+    m2 = float(flip_margin(jnp.asarray(y * 37.0 + 5.0)))
+    assert abs(m1 - m2) < 1e-5
+    # combined confidence collapses for the bimodal curve even though the
+    # softmax peak mass is high (the VERDICT r4 failure mode)
+    sharp_bimodal = y * 50.0
+    peak_mass = float(jnp.max(jax.nn.softmax(jnp.asarray(sharp_bimodal))))
+    assert peak_mass > 0.9  # softmax alone cannot see the flip risk
+    assert float(yaw_confidence(jnp.asarray(sharp_bimodal))) < 0.1
+
+
+def test_flip_margin_batched_shapes():
+    from overlapnet_tpu.ops.correlation import flip_margin
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(5, 90)).astype(np.float32)
+    out = np.asarray(flip_margin(jnp.asarray(logits)))
+    assert out.shape == (5,)
+    assert np.all((out >= 0.0) & (out <= 1.0))

@@ -447,3 +447,78 @@ def test_multi_step_dispatch_matches_single():
     for a, b in zip(jax.tree.leaves(t1.state.params), jax.tree.leaves(tk.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=3e-4)
     assert int(t1.state.step) == int(tk.state.step) == 6
+
+
+def test_soft_yaw_supervision_ramp():
+    """soft_overlap_min replaces the hard binarization with a linear ramp:
+    band pairs (soft < overlap < hard) get a positive CE target at their
+    yaw bin, sub-soft pairs stay all-negative, and soft=-1 reproduces the
+    reference cutoff exactly."""
+    import jax.numpy as jnp
+
+    from overlapnet_tpu.train.losses import (
+        orientation_target,
+        weighted_orientation_entropy,
+    )
+
+    rng = np.random.default_rng(0)
+    w = 36
+    logits = jnp.asarray(rng.normal(size=(3, w)).astype(np.float32))
+    bins = jnp.asarray([4, 9, 20])
+    overlaps = jnp.asarray([0.5, 0.8, 0.2])  # band, above-hard, below-soft
+    target = orientation_target(bins, overlaps, w)
+
+    hard = float(
+        weighted_orientation_entropy(logits, target, pos_weight=float(w))
+    )
+    soft_off = float(
+        weighted_orientation_entropy(
+            logits, target, pos_weight=float(w), soft_overlap_min=-1.0
+        )
+    )
+    assert hard == soft_off  # default disabled == reference parity
+
+    # manual oracle for the soft ramp
+    z = np.clip((np.asarray(target) - 0.3) / (0.7 - 0.3), 0.0, 1.0)
+    x = np.asarray(logits)
+    lw = 1.0 + (w - 1.0) * z
+    expect = np.mean(
+        (1.0 - z) * x + lw * (np.log1p(np.exp(-np.abs(x))) + np.maximum(-x, 0))
+    )
+    got = float(
+        weighted_orientation_entropy(
+            logits, target, pos_weight=float(w), soft_overlap_min=0.3
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    # the band pair's z at its bin is the ramp value, not 0/1
+    assert abs(z[0, 4] - 0.5) < 1e-6
+    assert z[1, 9] == 1.0
+    assert z[2, 20] == 0.0
+
+
+def test_soft_yaw_band_trains_yaw_where_hard_cutoff_does_not():
+    """With soft supervision, a band pair's (overlap 0.5) yaw bin logit
+    rises under gradient descent; with the hard cutoff it is pushed DOWN
+    (all-negative target) — the mechanism behind the r04 yaw cliff."""
+    import jax
+
+    from overlapnet_tpu.train.losses import (
+        orientation_target,
+        weighted_orientation_entropy,
+    )
+
+    w = 36
+    logits = jnp.zeros((1, w))
+    target = orientation_target(jnp.asarray([7]), jnp.asarray([0.5]), w)
+
+    def g(soft):
+        return jax.grad(
+            lambda l: weighted_orientation_entropy(
+                l, target, pos_weight=float(w), soft_overlap_min=soft
+            )
+        )(logits)
+
+    assert float(g(-1.0)[0, 7]) > 0.0  # hard cutoff: bin treated as negative
+    assert float(g(0.3)[0, 7]) < 0.0  # soft ramp: bin pushed up
