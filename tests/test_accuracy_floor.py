@@ -36,11 +36,14 @@ def test_committed_results_meet_floors():
     """The newest frozen full-scale artifact (RESULTS_r*.json) must satisfy
     the BASELINE.md floors; regenerate per BASELINE.md 'Reproduce'."""
     import glob
+    import re
 
     paths = sorted(glob.glob(os.path.join(REPO, "RESULTS_r*.json")))
     if not paths:
         pytest.skip("no RESULTS_r*.json committed yet")
-    with open(paths[-1]) as f:
+    newest = paths[-1]
+    round_no = int(re.search(r"RESULTS_r(\d+)", newest).group(1))
+    with open(newest) as f:
         m = json.load(f)
     assert m["lcd_f1"] >= 0.9, m["lcd_f1"]
     assert m["lcd_precision"] >= 0.9
@@ -48,12 +51,19 @@ def test_committed_results_meet_floors():
     assert m["ate_after_m"] < m["ate_before_m"]
     if "lcd_closure_details" in m:
         # round-4 floor: calibrated + circular yaw must be tight on the
-        # bulk of true positives. Gated on median/p90 of the per-closure
-        # circular error — the RMSE is dominated by a handful of closures
-        # in genuinely ambiguous (180-degree-symmetric / featureless)
-        # stretches of the synthetic world (see BASELINE.md note).
+        # bulk of true positives (median/p90 of per-closure circular error).
         import numpy as np
 
         err = np.array(m["lcd_closure_details"])[:, 6]
         assert np.percentile(err, 50) <= 1.0, np.percentile(err, 50)
         assert np.percentile(err, 90) <= 5.0, np.percentile(err, 90)
+    if round_no >= 5:
+        # round-5 floors (VERDICT r4 asks #1/#4): soft-band yaw supervision
+        # + antipodal-aware confidence must make the whole yaw RMSE tight
+        # (not just its percentiles) and floor ATE absolutely.
+        assert m["lcd_yaw_rmse_deg"] <= 5.0, m["lcd_yaw_rmse_deg"]
+        assert m["ate_after_m"] <= 2.0, m["ate_after_m"]
+        assert m["lcd_f1"] >= 0.99, m["lcd_f1"]
+        # yaw must be usable inside the LCD acceptance band (VERDICT #3)
+        if "trained_yaw_rms@0.5" in m:
+            assert m["trained_yaw_rms@0.5"] <= 10.0, m["trained_yaw_rms@0.5"]
