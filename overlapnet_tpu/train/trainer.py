@@ -54,8 +54,32 @@ def make_optimizer(cfg: OverlapNetConfig, steps_per_epoch: int) -> optax.Gradien
             f"unknown optimizer {cfg.train.optimizer!r} (adagrad|adam)"
         )
     if cfg.train.grad_clip_norm > 0:
+        # Group-wise clip: the orientation head's few params (the learnable
+        # correlation scale) see CE gradients orders of magnitude larger
+        # than the conv stack's, especially with the soft yaw band; a single
+        # global norm would let that one gradient scale DOWN the leg/overlap
+        # gradients every step (measured: overlap RMS stuck above untrained
+        # at miniature scale). Clipping each group by its own norm keeps the
+        # heads' training dynamics independent.
+        def clip_label_fn(params):
+            return jax.tree.map_with_path(
+                lambda path, _: "orient"
+                if any(
+                    getattr(k, "key", None) == "orientation_head"
+                    for k in path
+                )
+                else "main",
+                params,
+            )
+
+        clip = optax.clip_by_global_norm(cfg.train.grad_clip_norm)
         tx = optax.chain(
-            optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx
+            optax.multi_transform(
+                {"main": clip,
+                 "orient": optax.clip_by_global_norm(cfg.train.grad_clip_norm)},
+                clip_label_fn,
+            ),
+            tx,
         )
     if not cfg.model.legs_trainable:
         # Freeze the legs: zero their updates (360OutputkLegsFixed semantics).

@@ -20,15 +20,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_e2e_floors(tmp_path):
     from overlapnet_tpu.sim.e2e import run_e2e
 
-    m = run_e2e(str(tmp_path / "e2e"), n_frames=12, epochs=4, batch_size=4)
-    # learning happened
-    assert m["trained_overlap_rms_error"] < m["untrained_overlap_rms_error"], m
-    # detection works at toy scale
-    assert m["lcd_f1"] >= 0.5, m
+    m = run_e2e(str(tmp_path / "e2e"), n_frames=12, epochs=8, batch_size=4)
+    # learning happened, with margin (r5 tightening: the old
+    # "better than untrained" let a halved-quality run pass; measured
+    # trained/untrained RMS at this scale is ~0.21/0.32)
+    assert (
+        m["trained_overlap_rms_error"]
+        < 0.8 * m["untrained_overlap_rms_error"]
+    ), m
+    # detection works at toy scale — and precisely (measured F1 = 1.0,
+    # yaw p50 ~0.3 deg; an overlap RMS of 0.05 is data-limited at 12
+    # frames / 108 pairs, so the tight absolute floors live on the
+    # committed full-scale artifact below)
+    assert m["lcd_f1"] >= 0.9, m
     assert m["lcd_false_positives"] <= m["lcd_true_positives"], m
+    assert m.get("lcd_yaw_err_p50_deg", 0.0) <= 2.0, m
     # backend does not make the trajectory worse (1.2: at 12 frames the
-    # ATEs are sub-meter with ~1 loop closure, so a few-cm wobble is noise;
-    # the tight gate is the committed full-scale artifact below)
+    # ATEs are sub-meter with ~1 loop closure, so a few-cm wobble is noise)
     assert m["ate_after_m"] <= m["ate_before_m"] * 1.2, m
 
 
