@@ -408,6 +408,12 @@ def run_e2e(
     )
     train_results = train_and_eval(cfg, gt_paths, mesh=mesh)
     params = train_results.pop("params")
+    # checkpoint the trained params right away: the LCD/backend phases can
+    # then be rerun standalone (run_lcd/run_pose_graph) without repeating
+    # the training if anything downstream is interrupted
+    from overlapnet_tpu.train.checkpoint import save_params_npz
+
+    save_params_npz(os.path.join(work_dir, "trained_params.npz"), params)
     lcd = run_lcd(cfg, params, poses, gt_paths["gt_table"],
                   covariance_file=files["covariance_file"])
     closures = lcd.pop("closures")
