@@ -37,6 +37,9 @@ def main() -> int:
                     help="timed dispatches per variant")
     ap.add_argument("--batches", default="32,64,128,256",
                     help="comma-separated batch sizes to sweep")
+    ap.add_argument("--input-width", type=int, default=0,
+                    help="override ModelConfig.input_width (CPU smoke only; "
+                    "0 = flagship 900)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -58,6 +61,10 @@ def main() -> int:
     # correlation + bf16 legs; model/channel defaults
     cfg = make_config("/tmp")
     cfg.train.steps_per_dispatch = args.steps
+    if args.input_width:
+        import dataclasses
+
+        cfg.model = dataclasses.replace(cfg.model, input_width=args.input_width)
     h, w, c = cfg.model.input_height, cfg.model.input_width, cfg.num_input_channels
 
     rng = np.random.default_rng(0)
