@@ -176,12 +176,28 @@ def make_config(work_dir: str, model_overrides: dict | None = None, **train_over
     return cfg
 
 
-def train_and_eval(cfg, gt_paths: dict, mesh=None) -> dict:
+def train_and_eval(
+    cfg, gt_paths: dict, mesh=None, time_budget_s: float = 0.0,
+    work_dir: str | None = None,
+) -> dict | None:
     """Train on the synthetic GT; returns metrics incl. the untrained
-    baseline (proof the accuracy comes from learning, not the harness)."""
+    baseline (proof the accuracy comes from learning, not the harness).
+
+    ``time_budget_s`` > 0 enables chunked execution: the trainer
+    checkpoints (orbax: params + optimizer state + step) after every epoch
+    under ``work_dir`` and EXITS EARLY (returning None) once the budget is
+    spent; a rerun of the same command resumes exactly where it stopped.
+    This exists because long-lived clients of the remote-TPU tunnel in this
+    environment reliably wedge after ~80-90 minutes — any protocol longer
+    than that must span processes (observed three times on 2026-08-21;
+    fresh processes always reconnect fine)."""
+    import time as _time
+
     from overlapnet_tpu.data import load_gt_pairs
     from overlapnet_tpu.data.dataset import PairImageDataset
     from overlapnet_tpu.train.trainer import Trainer
+
+    t_start = _time.perf_counter()
 
     pairs = load_gt_pairs([gt_paths["train_set"]], shuffle=True,
                           rng=np.random.default_rng(cfg.train.seed))
@@ -210,18 +226,48 @@ def train_and_eval(cfg, gt_paths: dict, mesh=None) -> dict:
         return val_ds.batches(cfg.train.batch_size)
 
     results = {"n_train_pairs": len(pairs), "n_val_pairs": len(val_pairs)}
-    results["untrained"] = trainer.evaluate(val_batches())
+
+    # chunked-resume state (only with a time budget + work dir)
+    ckpt_dir = side_path = None
+    start_epoch = 0
+    if time_budget_s > 0 and work_dir:
+        from overlapnet_tpu.train.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        ckpt_dir = os.path.join(work_dir, "train_ckpt")
+        side_path = os.path.join(work_dir, "train_partial.json")
+        if latest_step(ckpt_dir) is not None:
+            trainer.state = restore_checkpoint(ckpt_dir, trainer.state)
+            start_epoch = int(trainer.state.step) // steps_per_epoch
+            with open(side_path) as f:
+                results.update(json.load(f))
+            print(f"resumed training at epoch {start_epoch}")
+    if start_epoch == 0:
+        results["untrained"] = trainer.evaluate(val_batches())
 
     # device-resident training: scan images live on the accelerator once;
     # steps ship only indices (parity with the host path is test-asserted)
     from overlapnet_tpu.data.dataset import ResidentPairs
 
     resident = ResidentPairs(train_ds, mesh=mesh)
-    for epoch in range(cfg.train.no_epochs):
+    for epoch in range(start_epoch, cfg.train.no_epochs):
         m = trainer.run_epoch_resident(resident, cfg.train.batch_size, epoch)
         print(f"epoch {epoch}: loss {m.get('epoch_loss', float('nan')):.4f} "
-              f"({m.get('train_pairs_per_sec', 0):.1f} pairs/s)")
+              f"({m.get('train_pairs_per_sec', 0):.1f} pairs/s)", flush=True)
         results[f"epoch{epoch}_loss"] = m.get("epoch_loss")
+        if ckpt_dir is not None:
+            save_checkpoint(ckpt_dir, trainer.state)
+            with open(side_path, "w") as f:
+                json.dump({k: v for k, v in results.items()
+                           if not isinstance(v, dict)}
+                          | {"untrained": results["untrained"]}, f)
+            if (_time.perf_counter() - t_start) > time_budget_s:
+                print(f"time budget spent after epoch {epoch}; "
+                      "rerun to resume", flush=True)
+                return None
     results["trained"] = trainer.evaluate(val_batches())
     results["params"] = trainer.state.params
     return results
@@ -389,9 +435,12 @@ def run_e2e(
     model_overrides: dict | None = None,
     query_stride: int = 1,
     mesh=None,
+    time_budget_s: float = 0.0,
     **train_overrides,
-) -> dict:
-    """The full pipeline; returns a flat metrics dict (see module docstring)."""
+) -> dict | None:
+    """The full pipeline; returns a flat metrics dict (see module docstring).
+    With ``time_budget_s`` > 0, returns None when the training budget ran
+    out mid-way — rerun the same call to resume from the epoch checkpoint."""
     from overlapnet_tpu.models import leg_output_width
 
     os.makedirs(work_dir, exist_ok=True)
@@ -406,7 +455,12 @@ def run_e2e(
         leg_output_width=leg_output_width(cfg.model),
         query_stride=query_stride, seed=seed,
     )
-    train_results = train_and_eval(cfg, gt_paths, mesh=mesh)
+    train_results = train_and_eval(
+        cfg, gt_paths, mesh=mesh, time_budget_s=time_budget_s,
+        work_dir=work_dir,
+    )
+    if train_results is None:
+        return None
     params = train_results.pop("params")
     # checkpoint the trained params right away: the LCD/backend phases can
     # then be rerun standalone (run_lcd/run_pose_graph) without repeating
@@ -454,6 +508,11 @@ if __name__ == "__main__":
     ap.add_argument("--rotate-data", type=int, default=0)
     ap.add_argument("--adjust-yaw-labels", action="store_true")
     ap.add_argument("--out", default="", help="write the metrics JSON here")
+    ap.add_argument("--time-budget-min", type=float, default=0.0,
+                    help="chunked mode: checkpoint each epoch and exit "
+                    "(rc 3) when the budget is spent; rerun to resume. "
+                    "Use ~50 on the remote-TPU tunnel (clients wedge at "
+                    "~80-90 min).")
     args = ap.parse_args()
 
     metrics = run_e2e(
@@ -466,7 +525,12 @@ if __name__ == "__main__":
         rotate_training_data=args.rotate_data,
         rotate_adjust_yaw_labels=args.adjust_yaw_labels,
         yaw_soft_overlap_min=args.yaw_soft_min,
+        time_budget_s=args.time_budget_min * 60.0,
     )
+    if metrics is None:
+        print("training time budget spent; rerun the same command to resume",
+              flush=True)
+        raise SystemExit(3)
     line = json.dumps(metrics, default=float)
     print(line)
     if args.out:
