@@ -51,7 +51,8 @@ class PendingFrame:
     def result(self):
         """(match_frame_id, overlap, yaw_deg, confidence) or None."""
         if not self._done:
-            val, gid, yaw, conf = (np.asarray(a) for a in self._arrays)
+            # ONE (4,) array fetch = one device round trip per frame
+            val, gid, yaw, conf = np.asarray(self._arrays)
             self._arrays = None
             self._done = True
             if self._n_candidates and float(val) > -1.0:

@@ -121,20 +121,51 @@ class OnlineLoopCloser:
     ) -> list[LoopClosure]:
         """Process all frames with up to ``pipeline_depth`` frames in
         flight: frame i+1's gating needs only poses, so its fused step is
-        dispatched before frame i's result is fetched — the device round
-        trip (the whole serving cost on a remote-TPU link) overlaps across
-        frames instead of serializing. Results resolve in frame order;
-        closures are identical to the sequential loop."""
-        from collections import deque
+        dispatched before frame i's result is fetched — and the result
+        fetch (one blocking device round trip per frame) runs on a
+        RESOLVER THREAD, overlapping with the next frames' host-side image
+        assembly + dispatch (the GIL releases during the fetch). Results
+        resolve in frame order on the single resolver; closures are
+        identical to the sequential loop."""
+        import queue as _queue
+        import threading
 
         n = n_frames if n_frames is not None else len(self.poses)
-        pending: deque = deque()
-        for idx in range(self._next_frame, n):
-            pending.append(self._dispatch(idx))
-            if len(pending) > pipeline_depth:
-                self._resolve(pending.popleft())
-        while pending:
-            self._resolve(pending.popleft())
+        work: _queue.Queue = _queue.Queue(maxsize=max(1, pipeline_depth))
+        errors: list[BaseException] = []
+
+        def resolver():
+            while True:
+                p = work.get()
+                if p is None:
+                    return
+                try:
+                    self._resolve(p)
+                except BaseException as e:  # surface in the main thread
+                    errors.append(e)
+                    return
+
+        t = threading.Thread(target=resolver, daemon=True)
+        t.start()
+        try:
+            for idx in range(self._next_frame, n):
+                if errors:
+                    break
+                item = self._dispatch(idx)
+                while not errors:  # don't block forever on a dead resolver
+                    try:
+                        work.put(item, timeout=5.0)
+                        break
+                    except _queue.Full:
+                        continue
+        finally:
+            try:
+                work.put(None, timeout=5.0)
+            except _queue.Full:
+                pass
+            t.join()
+        if errors:
+            raise errors[0]
         return self.closures
 
     # -- fault tolerance ---------------------------------------------------

@@ -258,3 +258,28 @@ def test_flip_margin_batched_shapes():
     out = np.asarray(flip_margin(jnp.asarray(logits)))
     assert out.shape == (5,)
     assert np.all((out >= 0.0) & (out <= 1.0))
+
+
+def test_peak_margin_detects_off_antipodal_ambiguity():
+    """peak_margin catches competing modes the antipodal margin cannot:
+    a 90-degree-offset secondary peak collapses it, while flip_margin
+    stays high (the r05 failure mode)."""
+    from overlapnet_tpu.ops.correlation import (
+        flip_margin,
+        peak_margin,
+        yaw_confidence,
+    )
+
+    w = 360
+    x = np.zeros(w, np.float32)
+    x[100] = 10.0
+    assert float(peak_margin(jnp.asarray(x))) > 0.95  # unimodal
+    y = x.copy()
+    y[(100 + 90) % w] = 9.8  # quarter-turn competitor
+    assert float(flip_margin(jnp.asarray(y))) > 0.9  # antipodal-only: blind
+    assert float(peak_margin(jnp.asarray(y))) < 0.05
+    assert float(yaw_confidence(jnp.asarray(y * 50.0))) < 0.1
+    # guard window: the peak's own shoulder does not count as a competitor
+    z = x.copy()
+    z[103] = 9.9
+    assert float(peak_margin(jnp.asarray(z), guard=8)) > 0.9
